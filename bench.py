@@ -1,0 +1,106 @@
+"""Benchmark harness: index-build throughput + query latencies.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "build": {...}}
+
+The build is the full engine path (code-aware tokenize+stem pandas UDF,
+salted posting merge, delta+varbyte, block-max metadata); queries run
+through the parser + BM25 scorer against the built index.  Set
+``SPARK_GRAFT_CPUS=8`` vs ``32`` on identical input for the two-
+parallelism scaling evidence (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# the reference query-set shapes (queries.txt:1-14) ported to the
+# documents-table vocabulary
+QUERY_SET = {
+    "q_keyword": "spark",
+    "q_ranked_2term": "merge window",
+    "q_ranked_3term": "merge window spark",
+    "q_phrase": "'value table'",
+    "q_bool_and": "spark AND merge",
+    "q_bool_and4": "spark AND merge AND window AND join",
+    "q_bool_not": "spark NOT window",
+    "q_bool_or": "spark OR 'value table'",
+    "q_prefix": "par*",
+    "q_phrase_prefix": "'value ta'*",
+}
+
+
+def main() -> None:
+    from informationretrieval_en_people_cn_spark.operators.build import build_index
+    from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
+    from informationretrieval_en_people_cn_spark.session import get_spark
+    from informationretrieval_en_people_cn_spark.sources.corpus import (
+        documents_as_corpus,
+    )
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    t_all = time.time()
+
+    corpus = documents_as_corpus(spark, SF_DIR)
+    n_docs = corpus.count()
+    out = tempfile.mkdtemp(prefix="ir_bench_")
+    t0 = time.time()
+    build_index(spark, corpus, out, slices=4, salt=4)
+    build_sec = time.time() - t0
+
+    engine = SearchEngine(spark, out)
+    timings: dict[str, float] = {}
+    for name, q in QUERY_SET.items():
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            engine.search(q, k=10).collect()
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[1], 4)  # median of 3
+
+    # pipeline headliners at the same SF
+    from informationretrieval_en_people_cn_spark import api
+
+    for name in ["minhash_pairs", "ngram_jaccard", "ann_cosine_topk", "term_stats"]:
+        t0 = time.time()
+        api.QUERIES[name](spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 4)
+
+    total = round(time.time() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "build": {
+                    "build_sec": round(build_sec, 3),
+                    "docs": n_docs,
+                    "docs_per_sec": round(n_docs / build_sec, 1),
+                    "cpus": CPUS,
+                },
+            }
+        )
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

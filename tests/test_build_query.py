@@ -1,0 +1,179 @@
+"""End-to-end: build the index on the synthetic corpus, verify index
+invariants and rank-identity against the pure-pandas oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from informationretrieval_en_people_cn_spark.functions.codec import decode_frames
+from informationretrieval_en_people_cn_spark.plans.engine import wand_topk
+
+from .oracle import bm25_scores, build_oracle_index, topk
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pdf):
+    return build_oracle_index(corpus_pdf)
+
+
+def test_sha256_ingest_invariant(spark, corpus, index_dir):
+    """Driver-checked invariant: per-row sha256(content) equality."""
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    joined = corpus.select("doc_id", F.col("sha256").alias("expected")).join(
+        docs.select("doc_id", "sha256"), "doc_id"
+    )
+    assert joined.count() == corpus.count()
+    assert joined.filter(F.col("sha256") != F.col("expected")).count() == 0
+
+
+def test_index_matches_oracle_postings(spark, index_dir, oracle):
+    postings_gold, doclen_gold, stats_gold = oracle
+    rows = spark.read.parquet(f"{index_dir}/index").collect()
+    assert len(rows) == len(postings_gold)
+    for r in rows:
+        gold = postings_gold[r.term]
+        docs, tfs, pos = decode_frames(bytes(r.postings))
+        # docID-ascending invariant (enables DAAT/WAND)
+        assert np.all(np.diff(docs.astype(np.int64)) > 0), r.term
+        assert r.df == len(gold)
+        assert r.cf == sum(tf for _, tf, _ in gold)
+        assert int(tfs.sum()) == r.cf  # Σtf == cf cross-check
+        gold_sorted = sorted(gold)
+        assert docs.astype(np.int64).tolist() == [d for d, _, _ in gold_sorted]
+        assert tfs.astype(int).tolist() == [t for _, t, _ in gold_sorted]
+        gold_pos = [p for _, _, plist in gold_sorted for p in plist]
+        assert pos.astype(int).tolist() == gold_pos
+
+
+def test_doclens_and_stats(spark, index_dir, oracle):
+    _, doclen_gold, stats_gold = oracle
+    docs = spark.read.parquet(f"{index_dir}/docs").collect()
+    got = {r.doc_id: r.doclen for r in docs}
+    assert got == doclen_gold
+    st = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    assert st.n_docs == stats_gold["n_docs"]
+    assert st.collection_term_count == stats_gold["total"]
+    assert abs(st.avg_doclen - stats_gold["avgdl"]) < 1e-9
+
+
+def test_blocks_metadata(spark, index_dir):
+    rows = spark.read.parquet(f"{index_dir}/index").collect()
+    for r in rows:
+        docs, tfs, _ = decode_frames(bytes(r.postings))
+        assert len(r.blocks) >= 1
+        # every block's last_doc present & ascending; max_tf ≥ any tf
+        lasts = [b.last_doc for b in r.blocks]
+        assert lasts == sorted(lasts)
+        assert lasts[-1] == int(docs[-1])
+        assert max(b.max_tf for b in r.blocks) == int(tfs.max())
+
+
+def test_keyword_topk_rank_identity(engine, oracle):
+    postings_gold, doclen_gold, stats_gold = oracle
+    for q in ["merge", "compression", "return", "characters"]:
+        from informationretrieval_en_people_cn_spark.functions.analyze import (
+            analyze_text,
+        )
+
+        terms = analyze_text(q)
+        gold = topk(
+            bm25_scores(postings_gold, doclen_gold, stats_gold, terms), 10
+        )
+        got = [(r.doc_id, r.score) for r in engine.search(q, 10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in gold], q
+        for (gd, gs), (od, os_) in zip(got, gold):
+            assert gs == pytest.approx(os_, abs=1e-9), q
+
+
+def test_multi_term_rank_identity(engine, oracle):
+    postings_gold, doclen_gold, stats_gold = oracle
+    from informationretrieval_en_people_cn_spark.functions.analyze import analyze_text
+
+    q = "merge compression buffer"
+    gold = topk(
+        bm25_scores(postings_gold, doclen_gold, stats_gold, analyze_text(q)), 10
+    )
+    got = [(r.doc_id, r.score) for r in engine.search(q, 10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in gold]
+
+
+def test_boolean_and_not_or(engine, corpus_pdf):
+    from informationretrieval_en_people_cn_spark.functions.analyze import analyze_text
+
+    def docs_with(term):
+        t = analyze_text(term)[0]
+        return {
+            r.doc_id
+            for r in corpus_pdf.itertuples()
+            if t in analyze_text(r.content)
+        }
+
+    a, b = docs_with("merge"), docs_with("compression")
+    got_and = {r.doc_id for r in engine.search("merge AND compression").collect()}
+    assert got_and == a & b
+    got_not = {r.doc_id for r in engine.search("merge NOT compression").collect()}
+    assert got_not == a - b
+    got_or = {r.doc_id for r in engine.search("merge OR compression").collect()}
+    assert got_or == a | b
+
+
+def test_prefix_query(engine, corpus_pdf):
+    from informationretrieval_en_people_cn_spark.functions.analyze import analyze_text
+
+    gold = {
+        r.doc_id
+        for r in corpus_pdf.itertuples()
+        if any(t.startswith("compr") for t in analyze_text(r.content))
+    }
+    got = {r.doc_id for r in engine.prefix_docids("compr").collect()}
+    assert got == gold
+
+
+def test_phrase_query_substring_semantics(engine, corpus_pdf):
+    phrase = "posting merge"
+    gold = {
+        r.doc_id for r in corpus_pdf.itertuples() if phrase in r.content.lower()
+    }
+    got = {r.doc_id for r in engine.phrase_docids(phrase).collect()}
+    assert got == gold
+
+
+def test_wand_equals_exhaustive(engine, oracle):
+    postings_gold, doclen_gold, stats_gold = oracle
+    terms = ["merg", "compress", "buffer", "return"]
+    dfs = {t: len(postings_gold.get(t, [])) for t in terms}
+    # remap hash doc_ids to a dense space for the array-indexed doclens
+    dense = {d: i for i, d in enumerate(sorted(doclen_gold))}
+    doclens = np.zeros(len(dense), dtype=np.int64)
+    for d, l in doclen_gold.items():
+        doclens[dense[d]] = l
+    postings = {
+        t: (
+            np.array(
+                [dense[d] for d, _, _ in sorted(postings_gold[t])], dtype=np.int64
+            ),
+            np.array([tf for _, tf, _ in sorted(postings_gold[t])], dtype=np.int64),
+        )
+        for t in terms
+        if t in postings_gold
+    }
+    gold_dense = {
+        t: [(dense[d], tf, p) for d, tf, p in v] for t, v in postings_gold.items()
+    }
+    doclen_dense = {dense[d]: l for d, l in doclen_gold.items()}
+    for k in (1, 3, 10, 50):
+        got = wand_topk(
+            postings,
+            dfs,
+            doclens,
+            stats_gold["n_docs"],
+            stats_gold["avgdl"],
+            k,
+            block_size=4,
+        )
+        gold = topk(
+            bm25_scores(gold_dense, doclen_dense, stats_gold, terms), k
+        )
+        assert [d for d, _ in got] == [d for d, _ in gold], k
+        for (gd, gs), (od, os_) in zip(got, gold):
+            assert gs == pytest.approx(os_, rel=1e-12)

@@ -59,7 +59,7 @@ def main() -> None:
     n_docs = corpus.count()
     out = tempfile.mkdtemp(prefix="ir_bench_")
     t0 = time.time()
-    build_index(spark, corpus, out, slices=4, salt=4)
+    build_index(spark, corpus, out, slices=4, salt=4, store_positions=False)
     build_sec = time.time() - t0
 
     engine = SearchEngine(spark, out)

@@ -29,7 +29,9 @@ from .operators.build import POSTING_ROW_SCHEMA
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .session import scaled
+
+    return scaled(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 indexed_tokens = indexed_tokens_expr

@@ -6,31 +6,42 @@ write sorted partial-index runs of 200k comments (py:23-133) → the
 driver k-way-merges all runs single-threaded (py:259-348) → Huffman
 compression pass (py:364-440).
 
-Spark-first rebuild:
+Spark-first rebuild — the key scaling decision is that **posting rows
+never shuffle**.  A row-level ``groupBy(doc, term)`` shuffle moves
+|docs × terms| rows; at 10^12 files that is the whole corpus again.
+Instead each input partition tokenizes AND encodes locally (the
+reference's "partial index run", IndexCreator.py:87-133, made narrow),
+so the only shuffle carries already-compressed varbyte frames — bytes
+proportional to the final index, orders of magnitude smaller.
 
-1. **Slices** = contiguous doc_id ranges (the analogue of the
-   reference's byte-range splits).  Each slice tokenizes once via
-   `mapInPandas`, pre-aggregates per (doc, term) inside the batch (no
-   per-token shuffle rows), and writes an encoded *run* — checkpointed
-   with a manifest row so a killed build resumes without re-tokenizing
-   committed slices (north_rule; reference analogue:
-   `{end_offset}_file_number.pickle`, IndexCreator.py:75-84,183-191).
-2. **Salted repartition-by-term** inside each slice: group key is
-   (term, salt) where salt is the doc-range bucket, so a Zipf-head term
-   ("return" in code) splits across `salt` tasks instead of melting one
-   reducer — AQE does not split groupBy skew, so this is explicit.
-   Sub-lists are doc-range-disjoint by construction, so the second
-   level concatenates already-encoded frames (cheap bytes concat), it
-   never re-merges postings.
-3. **Merge** replaces the reference's single-threaded k-way merge with
-   one `groupBy(term)` over encoded runs: frames ordered by
-   (slice, salt) = ascending doc ranges → byte concat.  Output index is
-   range-partitioned + sorted by term so point/prefix lookups prune to
-   one file via parquet min/max stats (the Spark-native seek list; the
-   reference uses a DAWG, IndexCreator.py:340).
+1. **Slices** = contiguous doc_id ranges (analogue of the reference's
+   byte-range splits).  Each slice is one narrow ``mapInPandas`` pass
+   producing per-partition encoded runs, checkpointed with a manifest
+   row so a killed build resumes without re-tokenizing committed slices
+   (north_rule; reference analogue: `{end_offset}_file_number.pickle`,
+   IndexCreator.py:75-84,183-191).
+2. **Salted merge** (north_rule): runs carry a ``salt`` = global
+   doc-range bucket (``slices × salt`` buckets), assigned per posting
+   INSIDE the tokenizer UDF.  The merge groups by ``(term, salt)`` so a
+   Zipf-head term ("return" in code) splits across ``salt`` reducers
+   instead of melting one — AQE does not split groupBy skew, so this is
+   explicit.  Because buckets are doc ranges, the per-(term, salt)
+   merged rows are doc-range-disjoint: the index may keep hot terms as
+   MULTIPLE rows and a query concatenates them in first_doc order.
+   Bucket count is the skew knob: size it so df(hot)/buckets fits one
+   task (e.g. 4096 buckets at 10^12 docs).
+3. The merged index is range-partitioned + sorted by term so point /
+   prefix lookups prune to one file via parquet min/max stats (the
+   Spark-native seek list; the reference uses a DAWG,
+   IndexCreator.py:340).
 4. Postings are delta+varbyte `BinaryType` (north_rule; replaces the
    reference's digit-level Huffman, IndexCreator.py:400-410) with
    block-max metadata every `block_size` docs for WAND pruning.
+
+Determinism: bucket assignment is a pure function of doc_id, and each
+(term, salt) group is fully re-sorted by doc_id before the final
+encode — the index content is byte-identical across parallelism levels
+and across resume boundaries.
 """
 
 from __future__ import annotations
@@ -45,7 +56,7 @@ from pyspark.sql import types as T
 
 from .. import checkpoint as ckpt
 from ..functions.analyze import analyze_batch
-from ..functions.codec import encode_frame
+from ..functions.codec import decode_frames, encode_frame
 
 POSTING_ROW_SCHEMA = T.StructType(
     [
@@ -59,32 +70,31 @@ POSTING_ROW_SCHEMA = T.StructType(
 RUN_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
+        T.StructField("salt", T.IntegerType(), False),
         T.StructField("first_doc", T.LongType(), False),
         T.StructField("df", T.LongType(), False),
         T.StructField("cf", T.LongType(), False),
         T.StructField("frame", T.BinaryType(), False),
-        T.StructField(
-            "blocks",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("last_doc", T.LongType(), False),
-                        T.StructField("max_tf", T.IntegerType(), False),
-                    ]
-                )
-            ),
-            False,
-        ),
     ]
+)
+
+BLOCKS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("last_doc", T.LongType(), False),
+            T.StructField("max_tf", T.IntegerType(), False),
+        ]
+    )
 )
 
 INDEX_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
+        T.StructField("first_doc", T.LongType(), False),
         T.StructField("df", T.LongType(), False),
         T.StructField("cf", T.LongType(), False),
         T.StructField("postings", T.BinaryType(), False),
-        T.StructField("blocks", RUN_SCHEMA["blocks"].dataType, False),
+        T.StructField("blocks", BLOCKS_TYPE, False),
     ]
 )
 
@@ -94,9 +104,10 @@ def tokenize_to_postings(
 ) -> DataFrame:
     """corpus(doc_id, content) -> one row per (doc, term): tf + positions.
 
-    T1-T4 in one Arrow-batched pass: the per-doc position grouping
-    (reference IndexCreator.py:92-99) happens inside the batch, so the
-    shuffle sees |doc×distinct-term| rows, not |tokens| rows.
+    T1-T4 in one Arrow-batched pass; used by the logical/uncompressed
+    view and the oracle-checked queries.  The index build itself uses
+    :func:`partition_runs` (which never materializes posting rows into
+    a shuffle).
     """
 
     def gen(batches):
@@ -126,60 +137,149 @@ def tokenize_to_postings(
     return corpus.select("doc_id", "content").mapInPandas(gen, POSTING_ROW_SCHEMA)
 
 
-def _encode_run_group(block_size: int):
-    """applyInPandas fn: one (term[, salt]) group -> one encoded frame row."""
+def partition_runs(
+    corpus: DataFrame,
+    *,
+    lo: int,
+    span: int,
+    buckets: int,
+    use_stemmer: bool = True,
+    store_positions: bool = True,
+    flush_tokens: int = 4_000_000,
+) -> DataFrame:
+    """One NARROW pass: tokenize each input partition and emit encoded
+    posting-frame runs keyed by (term, salt-bucket).
+
+    This is the reference's partial-index run (IndexCreator.py:87-133)
+    re-expressed: buffer up to ``flush_tokens`` tokens (the reference
+    buffers 200k comments, py:23-24), then emit one varbyte frame per
+    (term, bucket) with docs sorted ascending.  The shuffle that
+    follows carries only these compressed frames.
+    """
+
+    def gen(batches):
+        import pandas as pd
+
+        acc: dict[tuple[str, int], tuple[list, list, list]] = {}
+        n_tok = 0
+
+        def flush():
+            nonlocal acc, n_tok
+            if not acc:
+                return None
+            cols = {k: [] for k in ("term", "salt", "first_doc", "df", "cf", "frame")}
+            for (term, bucket), (docs, tfs, plists) in acc.items():
+                d = np.asarray(docs, dtype=np.uint64)
+                t = np.asarray(tfs, dtype=np.uint64)
+                order = np.argsort(d, kind="stable")
+                d, t = d[order], t[order]
+                pos = None
+                if store_positions:
+                    pos = np.concatenate(
+                        [np.asarray(plists[i], dtype=np.uint64) for i in order]
+                    )
+                cols["term"].append(term)
+                cols["salt"].append(bucket)
+                cols["first_doc"].append(int(d[0]))
+                cols["df"].append(len(d))
+                cols["cf"].append(int(t.sum()))
+                cols["frame"].append(encode_frame(d, t, pos))
+            acc = {}
+            n_tok = 0
+            return pd.DataFrame(cols)
+
+        for pdf in batches:
+            terms_lists = analyze_batch(pdf["content"], use_stemmer=use_stemmer)
+            for doc_id, terms in zip(pdf["doc_id"], terms_lists):
+                bucket = min(buckets - 1, int(buckets * (doc_id - lo) / span))
+                groups: dict[str, list[int]] = {}
+                for p, term in enumerate(terms):
+                    groups.setdefault(term, []).append(p)
+                for term, plist in groups.items():
+                    e = acc.setdefault((term, bucket), ([], [], []))
+                    e[0].append(doc_id)
+                    e[1].append(len(plist))
+                    e[2].append(plist if store_positions else None)
+                n_tok += len(terms)
+            if n_tok >= flush_tokens:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    return corpus.select("doc_id", "content").mapInPandas(gen, RUN_SCHEMA)
+
+
+def _reorder_positions(pos: np.ndarray, tfs: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Gather doc-major position runs into ``order`` — fully vectorized."""
+    ends = np.cumsum(tfs)
+    starts = (ends - tfs).astype(np.int64)
+    sel_starts = starts[order]
+    sel_lens = tfs[order].astype(np.int64)
+    total = int(sel_lens.sum())
+    offsets = np.concatenate(([0], np.cumsum(sel_lens)[:-1])).astype(np.int64)
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(offsets, sel_lens)
+        + np.repeat(sel_starts, sel_lens)
+    )
+    return pos[idx]
+
+
+def _merge_bucket(block_size: int):
+    """applyInPandas fn: merge ONE doc-range bucket's runs — all terms.
+
+    The shuffle key is the doc-range salt bucket, so reducer load is
+    |index| / buckets **regardless of term skew**: a Zipf-head term's
+    postings spread evenly over every bucket by construction (the
+    doc-range refinement of the salted repartition-by-term merge).
+    Inside the bucket, terms merge with a fast pandas groupby + numpy
+    loop — per-term Spark group overhead would dominate at 10^4-10^6
+    (term, bucket) micro-groups, so grouping happens HERE, not in the
+    shuffle key.
+
+    Frames per term hold disjoint doc sets (each doc is tokenized by
+    exactly one run), so merging is decode → argsort → re-encode; the
+    output is byte-identical no matter how the corpus was partitioned.
+    """
 
     def fn(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values("doc_id")
-        docs = pdf["doc_id"].to_numpy(np.uint64)
-        tfs = pdf["tf"].to_numpy(np.uint64)
-        pos_lists = pdf["positions"].tolist()
-        has_pos = any(len(p) for p in pos_lists)
-        pos = (
-            np.concatenate([np.asarray(p, dtype=np.uint64) for p in pos_lists])
-            if has_pos
-            else None
-        )
-        frame = encode_frame(docs, tfs, pos)
-        blocks = [
-            {
-                "last_doc": int(docs[min(i + block_size, len(docs)) - 1]),
-                "max_tf": int(tfs[i : i + block_size].max()),
-            }
-            for i in range(0, len(docs), block_size)
-        ]
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "first_doc": [int(docs[0])],
-                "df": [len(docs)],
-                "cf": [int(tfs.sum())],
-                "frame": [frame],
-                "blocks": [blocks],
-            }
-        )
-
-    return fn
-
-
-def _merge_term_group():
-    """applyInPandas fn: concat a term's doc-range-disjoint frames."""
-
-    def fn(pdf):
-        import pandas as pd
-
-        pdf = pdf.sort_values("first_doc")
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "df": [int(pdf["df"].sum())],
-                "cf": [int(pdf["cf"].sum())],
-                "postings": [b"".join(pdf["frame"])],
-                "blocks": [[b for bl in pdf["blocks"] for b in bl]],
-            }
-        )
+        cols = {
+            "term": [], "first_doc": [], "df": [], "cf": [],
+            "postings": [], "blocks": [],
+        }
+        for term, g in pdf.groupby("term", sort=True):
+            all_d, all_t, all_p = [], [], []
+            for frame in g["frame"]:
+                d, t, p = decode_frames(bytes(frame))
+                all_d.append(d)
+                all_t.append(t)
+                all_p.append(p)
+            d0 = np.concatenate(all_d)
+            t0 = np.concatenate(all_t)
+            p = np.concatenate(all_p)
+            order = np.argsort(d0, kind="stable")
+            d, t = d0[order], t0[order]
+            pos = _reorder_positions(p, t0, order) if p.size else None
+            cols["term"].append(term)
+            cols["first_doc"].append(int(d[0]))
+            cols["df"].append(len(d))
+            cols["cf"].append(int(t.sum()))
+            cols["postings"].append(encode_frame(d, t, pos))
+            cols["blocks"].append(
+                [
+                    {
+                        "last_doc": int(d[min(i + block_size, len(d)) - 1]),
+                        "max_tf": int(t[i : i + block_size].max()),
+                    }
+                    for i in range(0, len(d), block_size)
+                ]
+            )
+        return pd.DataFrame(cols)
 
     return fn
 
@@ -187,15 +287,15 @@ def _merge_term_group():
 def _range_bucket(col: str, lo: int, span: int, n: int):
     """Monotone doc-range bucket in [0, n) — double math (no int64
     overflow for hash-sized ids); monotone in doc_id, so every bucket is
-    a contiguous, disjoint doc range (the concat-merge invariant)."""
+    a contiguous, disjoint doc range (the multi-row-per-term invariant)."""
     frac = (F.col(col) - F.lit(lo)).cast("double") / F.lit(float(span))
     return F.least(F.lit(n - 1), F.floor(F.lit(float(n)) * frac).cast("int"))
 
 
 def _doclens_from_runs(runs: DataFrame) -> DataFrame:
-    """Explode encoded run frames back to (doc_id, tf) rows (numpy decode)."""
-    from ..functions.codec import decode_frames
-
+    """Explode encoded run frames back to (doc_id, tf) rows (numpy
+    decode).  Used so resume/merge never re-tokenizes: doc lengths are
+    derived from committed artifacts only."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -209,7 +309,7 @@ def _doclens_from_runs(runs: DataFrame) -> DataFrame:
         for pdf in batches:
             docs_out, tfs_out = [], []
             for frame in pdf["frame"]:
-                d, t, _ = decode_frames(frame)
+                d, t, _ = decode_frames(bytes(frame))
                 docs_out.append(d.astype(np.int64))
                 tfs_out.append(t.astype(np.int64))
             if docs_out:
@@ -244,15 +344,36 @@ def build_index(
     block_size: int = 128,
     index_files: int = 8,
     resume: bool = False,
+    sorted_input: bool = False,
+    store_content: bool = True,
 ) -> IndexPaths:
     """Build the full index at ``out_dir``.
 
     ``corpus`` must carry (doc_id, content, sha256, repo, path, commit,
     lang) — see sources.corpus.  Deterministic: same corpus + config →
     byte-identical postings regardless of parallelism or resume.
+    ``slices × salt`` = global doc-range bucket count (the skew knob).
+
+    ``sorted_input=True`` declares the corpus already doc_id-range-
+    partitioned (a doc_id-sorted Iceberg table — the layout our own
+    docs table is written in): stage A skips its per-slice range
+    shuffle AND the slice filter prunes files via parquet doc_id
+    min/max stats.  ``store_content=False`` keeps the bulky content
+    column out of the docs table (at scale it stays in the source
+    table; phrase verification joins that instead — pass ``corpus`` to
+    SearchEngine).
     """
     paths = IndexPaths(out_dir)
-    done = ckpt.committed(spark, out_dir) if resume else {}
+    done = ckpt.committed(out_dir) if resume else {}
+    debug = os.environ.get("IR_BUILD_DEBUG")
+    _t = time.time()
+
+    def _mark(label):
+        nonlocal _t
+        if debug:
+            with open(debug, "a") as fh:
+                fh.write(f"[build] {label}: {time.time() - _t:.2f}s\n")
+        _t = time.time()
 
     bounds = corpus.agg(
         F.min("doc_id").alias("lo"),
@@ -272,6 +393,7 @@ def build_index(
         ).write.mode("overwrite").parquet(paths.stats)
         return paths
     span = max(hi - lo + 1, 1)
+    buckets = slices * salt
     cfg_fp = ckpt.fingerprint_of(
         use_stemmer=use_stemmer,
         store_positions=store_positions,
@@ -281,65 +403,88 @@ def build_index(
         lo=lo,
         hi=hi,
         n=n_docs,
+        store_content=store_content,
     )
 
+    _mark("bounds")
     corpus_s = corpus.withColumn("slice", _range_bucket("doc_id", lo, span, slices))
+    # one job for all per-slice doc counts (manifest metrics) instead of
+    # one count job per slice
+    slice_counts = {
+        r.slice: r.n
+        for r in corpus_s.groupBy("slice").agg(F.count("*").alias("n")).collect()
+    }
 
-    # -- Stage A: per-slice tokenization + salted run encoding (resumable)
+    _mark("slice_counts")
+    # -- Stage A: per-slice narrow tokenize+encode into runs (resumable)
     for s in range(slices):
         fp = ckpt.fingerprint_of(cfg=cfg_fp, slice=s)
         run_path = os.path.join(paths.runs, f"slice={s}")
         if done.get(("runs", s)) == fp:
             continue
         t0 = time.time()
+        # Range-partition the slice by doc_id before tokenizing: each
+        # task then covers a contiguous doc range touching ~1 salt
+        # bucket, so it emits ~|vocab| frames instead of |vocab × salt|
+        # (an unsorted input would multiply run rows by the bucket
+        # count).  This is the Spark analogue of writing the corpus as
+        # a doc_id-sorted Iceberg table — which the docs table below
+        # does, so a rebuild from our own layout skips the sort.
         part = corpus_s.filter(F.col("slice") == s)
-        postings = tokenize_to_postings(
-            part, use_stemmer=use_stemmer, store_positions=store_positions
-        )
-        # Salt = doc-range bucket within the slice → sub-lists are
-        # range-disjoint, merge is pure concat. Explicit skew defense:
-        # groupBy skew is NOT split by AQE.
-        salt_col = _range_bucket("doc_id", lo, span, slices * salt)
-        runs = (
-            postings.withColumn("salt", salt_col)
-            .groupBy("term", "salt")
-            .applyInPandas(_encode_run_group(block_size), RUN_SCHEMA)
+        if not sorted_input:
+            nparts = max(spark.sparkContext.defaultParallelism, salt)
+            part = part.repartitionByRange(nparts, "doc_id")
+        runs = partition_runs(
+            part,
+            lo=lo,
+            span=span,
+            buckets=buckets,
+            use_stemmer=use_stemmer,
+            store_positions=store_positions,
         )
         runs.write.mode("overwrite").parquet(run_path)
+        _mark(f"slice{s} tokenize+encode+write")
         stats = spark.read.parquet(run_path).agg(
-            F.count("*").alias("groups"),
+            F.count("*").alias("frames"),
             F.sum("df").alias("n_postings"),
             F.countDistinct("term").alias("n_terms"),
         ).collect()[0]
+        _mark(f"slice{s} stats")
         ckpt.commit(
-            spark,
             out_dir,
             partition_id=s,
             stage="runs",
             fingerprint=fp,
             path=run_path,
-            n_docs=part.count(),
+            n_docs=slice_counts.get(s, 0),
             n_terms=stats.n_terms or 0,
             n_postings=stats.n_postings or 0,
             wall_ms=int((time.time() - t0) * 1000),
         )
 
-    # -- Stage B: distributed merge (replaces the single-threaded k-way
-    # merge, IndexCreator.py:259-348). Frames per term are doc-range
-    # disjoint across (slice, salt) → concat in first_doc order.
+    # -- Stage B: distributed salted merge (replaces the single-threaded
+    # k-way merge, IndexCreator.py:259-348).  Group = (term, salt); a
+    # hot term spreads over `buckets` reducers; output rows per term are
+    # doc-range-disjoint (ordered by first_doc).
     fp_merge = ckpt.fingerprint_of(cfg=cfg_fp, stage="merge")
     if not (resume and done.get(("merge", -1)) == fp_merge):
         t0 = time.time()
         all_runs = spark.read.parquet(paths.runs)
-        merged = all_runs.groupBy("term").applyInPandas(
-            _merge_term_group(), INDEX_SCHEMA
+        # persist before repartitionByRange: range partitioning samples
+        # its child, which would otherwise recompute the merge twice
+        merged = (
+            all_runs.groupBy("salt")
+            .applyInPandas(_merge_bucket(block_size), INDEX_SCHEMA)
+            .persist()
         )
         (
             merged.repartitionByRange(index_files, "term")
-            .sortWithinPartitions("term")
+            .sortWithinPartitions("term", "first_doc")
             .write.mode("overwrite")
             .parquet(paths.index)
         )
+        merged.unpersist()
+        _mark("merge index write")
 
         # docs table: doclen = Σtf of indexed terms per doc (post-filter
         # length, consistent with BM25's |d|); zero-term docs kept.
@@ -354,16 +499,18 @@ def build_index(
         # by offset, SearchEngine.py:131-147). At petabyte scale this
         # column stays in the source Iceberg table and the join targets
         # that table instead — same plan shape.
+        doc_cols = ["doc_id", "repo", "path", "commit", "lang", "sha256"]
+        if store_content:
+            doc_cols.insert(5, "content")
         docs = (
-            corpus.select(
-                "doc_id", "repo", "path", "commit", "lang", "content", "sha256"
-            )
+            corpus.select(*doc_cols)
             .join(dl, "doc_id", "left")
             .withColumn("doclen", F.coalesce("doclen", F.lit(0)))
         )
         docs.repartitionByRange(index_files, "doc_id").sortWithinPartitions(
             "doc_id"
         ).write.mode("overwrite").parquet(paths.docs)
+        _mark("docs write")
 
         stats_row = spark.read.parquet(paths.docs).agg(
             F.count("*").alias("n_docs"),
@@ -371,8 +518,8 @@ def build_index(
             F.avg("doclen").alias("avg_doclen"),
         )
         stats_row.write.mode("overwrite").parquet(paths.stats)
+        _mark("stats write")
         ckpt.commit(
-            spark,
             out_dir,
             partition_id=-1,
             stage="merge",

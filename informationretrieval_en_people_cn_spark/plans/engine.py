@@ -91,12 +91,22 @@ class SearchEngine:
         b: float = 0.75,
         edges: DataFrame | None = None,
         stop_cf_fraction: float | None = None,
+        corpus: DataFrame | None = None,
     ):
         self.spark = spark
         self.use_stemmer = use_stemmer
         self.k1, self.b = k1, b
         self.index = spark.read.parquet(f"{index_dir}/index")
         self.docs = spark.read.parquet(f"{index_dir}/docs")
+        # document store for phrase verification: the docs table when it
+        # carries content (small scale), else the source corpus table
+        # (at scale content is not duplicated into the docs table)
+        if "content" in self.docs.columns:
+            self.content_df = self.docs.select("doc_id", "content")
+        elif corpus is not None:
+            self.content_df = corpus.select("doc_id", "content")
+        else:
+            self.content_df = None
         st = spark.read.parquet(f"{index_dir}/stats").collect()[0]
         self.n_docs = st.n_docs
         self.avgdl = float(st.avg_doclen or 0.0) or 1.0
@@ -139,7 +149,8 @@ class SearchEngine:
             return self.prefix_docids(suffix)
         stats = (
             self._index_rows(terms)
-            .select("term", "df")
+            .groupBy("term")  # hot terms span multiple doc-range rows
+            .agg(F.sum("df").alias("df"))
             .orderBy("df")
             .limit(2)
             .collect()
@@ -152,7 +163,12 @@ class SearchEngine:
                 self.index.filter(F.col("term") == r.term)
             ).select("doc_id")
             cand = ids if cand is None else cand.join(ids, "doc_id", "left_semi")
-        verified = cand.join(self.docs.select("doc_id", "content"), "doc_id").filter(
+        if self.content_df is None:
+            raise ValueError(
+                "phrase verification needs a document store: docs table "
+                "has no content column and no corpus was provided"
+            )
+        verified = cand.join(self.content_df, "doc_id").filter(
             F.contains(F.lower("content"), F.lit(needle))
         )
         return verified.select("doc_id")
@@ -204,6 +220,7 @@ class SearchEngine:
             r.term
             for r in self.index.filter(F.col("term").startswith(prefix.lower()))
             .select("term")
+            .distinct()
             .collect()
         ]
 
@@ -225,7 +242,10 @@ class SearchEngine:
             thr = self.collection_term_count * self.stop_cf_fraction
             stats = {
                 r.term: r.cf
-                for r in self._index_rows(terms).select("term", "cf").collect()
+                for r in self._index_rows(terms)
+                .groupBy("term")
+                .agg(F.sum("cf").alias("cf"))
+                .collect()
             }
             kept = [t for t in terms if stats.get(t, 0) <= thr]
             if kept:
@@ -237,7 +257,8 @@ class SearchEngine:
         terms = sorted(set(terms))
         rows = self._index_rows(terms)
         decoded = decode_postings_df(rows)
-        stats = rows.select("term", "df")
+        # hot terms span multiple doc-range-disjoint rows: df is the sum
+        stats = rows.groupBy("term").agg(F.sum("df").alias("df"))
         k1, b = self.k1, self.b
         idf = F.log(
             F.lit(1.0)

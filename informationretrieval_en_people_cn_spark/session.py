@@ -7,6 +7,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def scaled(df, factor: int = 1):
+    """Ensure a DataFrame has at least cores×factor partitions.
+
+    Small-SF test files arrive as ONE parquet row-group → one task →
+    the expensive tokenize stage would run on one core regardless of
+    cluster size.  At real scale inputs already carry enough splits and
+    this is a no-op (no shuffle added).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "ir-engine",
     cores: int | None = None,
@@ -23,7 +38,7 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", os.environ.get("ARROW_BATCH", "1024"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -102,7 +102,9 @@ def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant commit. Keeps the original integer doc_id (already dense
     and deterministic).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..session import scaled
+
+    docs = scaled(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return docs.select(
         F.col("doc_id"),
         F.col("source").alias("repo"),

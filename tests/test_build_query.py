@@ -27,22 +27,35 @@ def test_sha256_ingest_invariant(spark, corpus, index_dir):
 
 
 def test_index_matches_oracle_postings(spark, index_dir, oracle):
+    """Index contract: one or MORE rows per term (hot terms stay sharded
+    by doc-range salt); rows are doc-range-disjoint, so concatenating
+    them in first_doc order reconstructs the full docID-sorted list."""
     postings_gold, doclen_gold, stats_gold = oracle
     rows = spark.read.parquet(f"{index_dir}/index").collect()
-    assert len(rows) == len(postings_gold)
+    by_term: dict[str, list] = {}
     for r in rows:
-        gold = postings_gold[r.term]
-        docs, tfs, pos = decode_frames(bytes(r.postings))
+        by_term.setdefault(r.term, []).append(r)
+    assert set(by_term) == set(postings_gold)
+    for term, rs in by_term.items():
+        gold = postings_gold[term]
+        rs.sort(key=lambda r: r.first_doc)
+        # doc-range disjointness across rows
+        docs_parts = [decode_frames(bytes(r.postings)) for r in rs]
+        for (d1, _, _), (d2, _, _) in zip(docs_parts, docs_parts[1:]):
+            assert int(d1[-1]) < int(d2[0]), term
+        docs = np.concatenate([d for d, _, _ in docs_parts]).astype(np.int64)
+        tfs = np.concatenate([t for _, t, _ in docs_parts]).astype(np.int64)
+        pos = np.concatenate([p for _, _, p in docs_parts]).astype(np.int64)
         # docID-ascending invariant (enables DAAT/WAND)
-        assert np.all(np.diff(docs.astype(np.int64)) > 0), r.term
-        assert r.df == len(gold)
-        assert r.cf == sum(tf for _, tf, _ in gold)
-        assert int(tfs.sum()) == r.cf  # Σtf == cf cross-check
+        assert np.all(np.diff(docs) > 0), term
+        assert sum(r.df for r in rs) == len(gold)
+        assert sum(r.cf for r in rs) == sum(tf for _, tf, _ in gold)
+        assert int(tfs.sum()) == sum(r.cf for r in rs)  # Σtf == cf
         gold_sorted = sorted(gold)
-        assert docs.astype(np.int64).tolist() == [d for d, _, _ in gold_sorted]
-        assert tfs.astype(int).tolist() == [t for _, t, _ in gold_sorted]
+        assert docs.tolist() == [d for d, _, _ in gold_sorted]
+        assert tfs.tolist() == [t for _, t, _ in gold_sorted]
         gold_pos = [p for _, _, plist in gold_sorted for p in plist]
-        assert pos.astype(int).tolist() == gold_pos
+        assert pos.tolist() == gold_pos
 
 
 def test_doclens_and_stats(spark, index_dir, oracle):
@@ -58,7 +71,7 @@ def test_doclens_and_stats(spark, index_dir, oracle):
 
 def test_blocks_metadata(spark, index_dir):
     rows = spark.read.parquet(f"{index_dir}/index").collect()
-    for r in rows:
+    for r in rows:  # per index row (term shard)
         docs, tfs, _ = decode_frames(bytes(r.postings))
         assert len(r.blocks) >= 1
         # every block's last_doc present & ascending; max_tf ≥ any tf

@@ -309,6 +309,44 @@ class SearchEngine:
             )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def wand_search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Low-latency single-query path: block-max WAND over postings
+        pulled to the driver (reference's DAAT loop, SearchEngine.py:94-126,
+        upgraded with pruning).  Returns the same ranking as the
+        distributed plan (tested); use when the query's posting lists
+        fit driver memory — at scale the distributed plan takes over.
+        """
+        terms = self._query_terms(query)
+        if not terms:
+            return []
+        rows = self._index_rows(terms).select("term", "postings").collect()
+        if not rows:  # no query term exists in the dictionary
+            return []
+        postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for r in rows:  # concat the term's doc-range-disjoint shards
+            d, t, _ = decode_frames(bytes(r.postings))
+            if r.term in postings:
+                d0, t0 = postings[r.term]
+                d, t = np.concatenate([d0, d]), np.concatenate([t0, t])
+            postings[r.term] = (d, t)
+        for term, (d, t) in postings.items():
+            order = np.argsort(d, kind="stable")
+            postings[term] = (d[order].astype(np.int64), t[order].astype(np.int64))
+        dfs = {term: len(d) for term, (d, t) in postings.items()}
+        # doclens only for candidate docs (semi-join, not a full scan)
+        all_docs = np.unique(np.concatenate([d for d, _ in postings.values()]))
+        cand = self.spark.createDataFrame(
+            [(int(x),) for x in all_docs], "doc_id long"
+        )
+        dl_rows = self.docs.join(F.broadcast(cand), "doc_id").select(
+            "doc_id", "doclen"
+        ).collect()
+        doclens = {r.doc_id: r.doclen for r in dl_rows}
+        return wand_topk(
+            postings, dfs, doclens, self.n_docs, self.avgdl, k,
+            k1=self.k1, b=self.b,
+        )
+
     # ---- entry point -----------------------------------------------------
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Boolean queries → unranked doc_id set; else BM25 top-k
@@ -387,7 +425,10 @@ def wand_topk(
         pivot_doc = int(postings[live[pivot_i]][0][cursors[live[pivot_i]]])
         first_doc = int(postings[live[0]][0][cursors[live[0]]])
         if first_doc == pivot_doc:
-            dl = float(doclens[pivot_doc]) if pivot_doc < len(doclens) else 0.0
+            if isinstance(doclens, dict):  # sparse (hashed doc_ids)
+                dl = float(doclens.get(pivot_doc, 0))
+            else:
+                dl = float(doclens[pivot_doc]) if pivot_doc < len(doclens) else 0.0
             score = 0.0
             for t in sorted(terms):
                 docs, tfs = postings[t]

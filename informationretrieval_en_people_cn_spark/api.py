@@ -250,6 +250,15 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_normalize(spark, sf_dir):
+    """P2+P3 ingest normalization (newline scrub + CJK punct fold)."""
+    from .functions.analyze import normalize_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", normalize_expr(F.col("text")).alias("norm_text")
+    )
+
+
 def q_quality(spark, sf_dir):
     return pl.quality_features(_docs(spark, sf_dir))
 
@@ -368,6 +377,7 @@ QUERIES = {
     "prefix_search": q_prefix_search,
     "phrase": q_phrase,
     "id_lookup": q_id_lookup,
+    "normalize_text": q_normalize,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "quality_features": q_quality,
@@ -431,6 +441,12 @@ ORACLES = {
     """,
     "phrase": f"SELECT doc_id FROM documents WHERE contains(lower(text), '{PHRASE}')",
     "id_lookup": "SELECT o_orderkey FROM orders WHERE o_custkey = 7",
+    "normalize_text": """
+        SELECT doc_id,
+               translate(regexp_replace(text, '[\\r\\n]+', ' ', 'g'),
+                         '，！？；：（）［］【】。', ',!?;:()[][].') AS norm_text
+        FROM documents
+    """,
     "dedup_exact": """
         SELECT sha256(text) AS content_sha256, min(doc_id) AS doc_id
         FROM documents GROUP BY 1

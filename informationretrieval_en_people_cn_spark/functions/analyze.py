@@ -55,6 +55,21 @@ def tokens_expr(col: str | Column) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
 
 
+# P3 (reference tools.py:22-39): CJK fullwidth punctuation -> ASCII.
+# Kept as parallel from/to strings for translate().
+CJK_FROM = "，！？；：（）［］【】。"
+CJK_TO = ",!?;:()[][]."
+
+
+def normalize_expr(col: str | Column) -> Column:
+    """Ingest normalization P2+P3 (reference ``tools.py:9-19,22-39``):
+    newlines -> single spaces, CJK fullwidth punctuation -> ASCII.
+    Pure Catalyst (regexp_replace + translate), codegen'd.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(F.regexp_replace(c, r"[\r\n]+", " "), CJK_FROM, CJK_TO)
+
+
 def indexed_tokens_expr(col: str | Column) -> Column:
     """JVM tokenizer + the reference's indexable-length bound
     (1 < len <= 128, IndexCreator.py:112) — the token stream the index,

@@ -71,3 +71,16 @@ def test_query_analysis_matches_build():
     # the rank-identity linchpin: build and query analyzers are identical
     assert analyze_query_term("Merging") == analyze_text("Merging")[0]
     assert analyze_query_term("x") is None
+
+
+def test_normalize_expr(spark):
+    from informationretrieval_en_people_cn_spark.functions.analyze import (
+        normalize_expr,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a\nb\r\nc，d！（e）。",), ("plain text",)], ["text"]
+    )
+    got = [r.n for r in df.select(normalize_expr("text").alias("n")).collect()]
+    assert got == ["a b c,d!(e).", "plain text"]

@@ -115,36 +115,36 @@ def analyze_text(text: str, *, use_stemmer: bool = True) -> list[str]:
 def analyze_batch(texts, *, use_stemmer: bool = True):
     """Analyze a pandas Series of documents -> Series of term lists.
 
-    Vectorizes the stemmer with a batch-level unique-token cache
-    (the reference's ``lru_cache`` analogue, ``IndexCreator.py:38``).
+    The whole per-token pipeline (ident-split → lowercase → stem →
+    length filter) is memoized per distinct RAW token across the batch
+    — Zipf-distributed text repeats tokens heavily, so each batch does
+    the expensive work once per vocabulary word, not once per
+    occurrence (the batch-wide generalization of the reference's
+    ``lru_cache`` stemmer memo, ``IndexCreator.py:38``).
     """
-    import pandas as pd
+    cache: dict[str, list[str]] = {}
+    findall = _RAW_TOKEN_RE.findall
 
-    # First pass: tokenized (unstemmed, lowercased) term lists.
-    raw_lists = texts.map(
-        lambda t: [
-            s.lower()
-            for raw in _RAW_TOKEN_RE.findall(t or "")
-            for s in _split_ident(raw)
-        ]
-    )
-    if not use_stemmer:
-        return raw_lists.map(
-            lambda toks: [t for t in toks if MIN_TERM_LEN <= len(t) <= MAX_TERM_LEN]
-        )
+    def terms_of(raw: str) -> list[str]:
+        out = []
+        for sub in _split_ident(raw):
+            term = sub.lower()
+            if use_stemmer:
+                term = porter_stem(term)
+            if MIN_TERM_LEN <= len(term) <= MAX_TERM_LEN:
+                out.append(term)
+        return out
 
-    # Batch memoization: stem each distinct token once.
-    vocab: set[str] = set()
-    for toks in raw_lists:
-        vocab.update(toks)
-    table = {t: porter_stem(t) for t in vocab}
-    return raw_lists.map(
-        lambda toks: [
-            s
-            for s in (table[t] for t in toks)
-            if MIN_TERM_LEN <= len(s) <= MAX_TERM_LEN
-        ]
-    )
+    def analyze_one(text: str) -> list[str]:
+        out: list[str] = []
+        for raw in findall(text or ""):
+            hit = cache.get(raw)
+            if hit is None:
+                hit = cache[raw] = terms_of(raw)
+            out += hit
+        return out
+
+    return texts.map(analyze_one)
 
 
 def analyze_query_term(term: str, *, use_stemmer: bool = True) -> str | None:

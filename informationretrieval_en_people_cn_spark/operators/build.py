@@ -188,18 +188,27 @@ def partition_runs(
             n_tok = 0
             return pd.DataFrame(cols)
 
+        from collections import Counter
+
         for pdf in batches:
             terms_lists = analyze_batch(pdf["content"], use_stemmer=use_stemmer)
             for doc_id, terms in zip(pdf["doc_id"], terms_lists):
                 bucket = min(buckets - 1, int(buckets * (doc_id - lo) / span))
-                groups: dict[str, list[int]] = {}
-                for p, term in enumerate(terms):
-                    groups.setdefault(term, []).append(p)
-                for term, plist in groups.items():
-                    e = acc.setdefault((term, bucket), ([], [], []))
-                    e[0].append(doc_id)
-                    e[1].append(len(plist))
-                    e[2].append(plist if store_positions else None)
+                if store_positions:
+                    groups: dict[str, list[int]] = {}
+                    for p, term in enumerate(terms):
+                        groups.setdefault(term, []).append(p)
+                    for term, plist in groups.items():
+                        e = acc.setdefault((term, bucket), ([], [], []))
+                        e[0].append(doc_id)
+                        e[1].append(len(plist))
+                        e[2].append(plist)
+                else:  # tf-only: C-speed multiset count
+                    for term, tf in Counter(terms).items():
+                        e = acc.setdefault((term, bucket), ([], [], []))
+                        e[0].append(doc_id)
+                        e[1].append(tf)
+                        e[2].append(None)
                 n_tok += len(terms)
             if n_tok >= flush_tokens:
                 out = flush()

@@ -229,6 +229,31 @@ def q_phrase(spark, sf_dir):
     )
 
 
+def q_phrase_positional(spark, sf_dir):
+    """TRUE positional phrase match through the full engine path
+    (index build with positions -> decode -> per-doc adjacency check).
+    Unstemmed so DuckDB can replicate the token-sequence semantics."""
+    import tempfile
+
+    from .operators.build import build_index
+    from .plans.engine import SearchEngine
+    from .sources.corpus import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="irpos_")
+    build_index(spark, corpus, out, slices=1, salt=4, use_stemmer=False)
+    eng = SearchEngine(spark, out, use_stemmer=False)
+    return eng.phrase_docids_positional(PHRASE)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: minhash LSH pairs -> connected components."""
+    pairs = pl.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=64, bands=16, shingle_n=2, threshold=0.3
+    )
+    return pl.dedup_clusters(pairs)
+
+
 def q_id_lookup(spark, sf_dir):
     """Q5/J4 generalized ReplyTo: equi-lookup join (orders of customer 7
     — the reference's parent→children map rebuilt as a join)."""
@@ -376,6 +401,7 @@ QUERIES = {
     "boolean_or": q_boolean_or,
     "prefix_search": q_prefix_search,
     "phrase": q_phrase,
+    "phrase_positional": q_phrase_positional,
     "id_lookup": q_id_lookup,
     "normalize_text": q_normalize,
     "dedup_exact": q_dedup_exact,
@@ -388,6 +414,7 @@ QUERIES = {
     "top_orders_per_cust": q_top_orders_per_cust,
     # rows-only (sketches / engine-native paths)
     "minhash_pairs": q_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
     "minhash_signatures": q_minhash_signatures,
@@ -440,6 +467,14 @@ ORACLES = {
         WHERE len(list_filter({_SQL_TOKS}, t -> t LIKE 'par%')) > 0
     """,
     "phrase": f"SELECT doc_id FROM documents WHERE contains(lower(text), '{PHRASE}')",
+    # positional semantics: the indexed-token SEQUENCE contains the
+    # phrase tokens adjacently (1-indexed DuckDB lists)
+    "phrase_positional": f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tl FROM documents)
+        SELECT doc_id FROM t
+        WHERE len(list_filter(range(1, len(tl)),
+                  i -> tl[i] = 'value' AND tl[i + 1] = 'table')) > 0
+    """,
     "id_lookup": "SELECT o_orderkey FROM orders WHERE o_custkey = 7",
     "normalize_text": """
         SELECT doc_id,

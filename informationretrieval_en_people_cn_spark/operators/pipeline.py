@@ -364,6 +364,59 @@ def simhash_pairs(
     ).select("doc_a", "doc_b", "hamming")
 
 
+def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id).
+
+    cluster_id = the smallest doc_id in the component (the canonical
+    "keep" representative).  Iterative min-label propagation as joins —
+    O(component diameter) rounds; near-dup components are shallow
+    (cliques / short chains), so this converges in 2-4 rounds in
+    practice.  Input: (doc_a, doc_b, ...) pairs; only docs appearing in
+    some pair are returned (singletons are their own cluster trivially).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.groupBy("src").agg(F.min("dst").alias("nbr")).select(
+        F.col("src").alias("doc_id"),
+        F.least("src", "nbr").alias("cluster_id"),
+    ).persist()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_label", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: quality, language-ID, token counts, fingerprint
 # ---------------------------------------------------------------------------

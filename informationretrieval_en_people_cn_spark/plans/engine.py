@@ -173,6 +173,79 @@ class SearchEngine:
         )
         return verified.select("doc_id")
 
+    def phrase_docids_positional(self, phrase: str) -> DataFrame:
+        """TRUE positional phrase matching from the stored position
+        lists — the capability the reference indexes for but never uses
+        (positions stored at IndexCreator.py:95-99; verification falls
+        back to substring at SearchEngine.py:201-207).
+
+        Semantics: the doc's analyzed term sequence contains the
+        phrase's analyzed term sequence contiguously.  Plan: decode the
+        k phrase terms' postings WITH positions → shuffle by doc_id →
+        per-doc numpy adjacency check (positions of term i+1 must
+        contain p+1 for some surviving p of term i).
+        """
+        import pandas as pd
+
+        terms = self._q(phrase)
+        if not terms:
+            return self.docs.limit(0).select("doc_id")
+        rows = self.index.filter(F.col("term").isin(list(set(terms))))
+
+        dec_schema = T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("positions", T.ArrayType(T.LongType()), False),
+            ]
+        )
+
+        def dec(batches):
+            for pdf in batches:
+                out_t, out_d, out_p = [], [], []
+                for term, buf in zip(pdf["term"], pdf["postings"]):
+                    d, t, p = decode_frames(bytes(buf))
+                    if p.size == 0:
+                        raise ValueError(
+                            "positional phrase query needs an index built "
+                            "with store_positions=True"
+                        )
+                    ends = np.cumsum(t).astype(np.int64)
+                    starts = ends - t.astype(np.int64)
+                    for i in range(len(d)):
+                        out_t.append(term)
+                        out_d.append(int(d[i]))
+                        out_p.append(p[starts[i] : ends[i]].astype(np.int64).tolist())
+                yield pd.DataFrame(
+                    {"term": out_t, "doc_id": out_d, "positions": out_p}
+                )
+
+        decoded = rows.select("term", "postings").mapInPandas(dec, dec_schema)
+
+        seq = terms  # phrase term order (duplicates allowed)
+        out_schema = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+
+        def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term: dict[str, np.ndarray] = {}
+            for term, plist in zip(pdf["term"], pdf["positions"]):
+                arr = np.asarray(plist, dtype=np.int64)
+                by_term[term] = (
+                    np.union1d(by_term[term], arr) if term in by_term else arr
+                )
+            if any(t not in by_term for t in seq):
+                return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+            cur = by_term[seq[0]]
+            for i, t in enumerate(seq[1:], start=1):
+                nxt = by_term[t]
+                cur = cur[np.isin(cur + i, nxt)]
+                if cur.size == 0:
+                    break
+            if cur.size:
+                return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])]})
+            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+
+        return decoded.groupBy("doc_id").applyInPandas(verify, out_schema)
+
     def reply_to_docids(self, target: str) -> DataFrame:
         """Q5 generalized id-lookup (the reference's ReplyTo crashes as
         shipped — SearchEngine.py:221 uses an attribute load_index never

@@ -304,6 +304,20 @@ def q_ann_cosine(spark, sf_dir, k: int = 10):
     )
 
 
+def q_events_window(spark, sf_dir):
+    """Event-time tumbling-window aggregation (the Structured-Streaming
+    agg shape, run in batch: identical plan under readStream)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value"
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """Generic agg parity (A2/A3 shape on a non-IR table)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -410,6 +424,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "ann_cosine_topk": q_ann_cosine,
+    "events_window": q_events_window,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_cust": q_top_orders_per_cust,
     # rows-only (sketches / engine-native paths)
@@ -545,6 +560,13 @@ ORACLES = {
                  AS cosine_r
         FROM embeddings WHERE vec_id <> 0
         ORDER BY cosine_r DESC, vec_id LIMIT 10
+    """,
+    "events_window": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,

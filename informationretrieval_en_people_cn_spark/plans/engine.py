@@ -92,6 +92,7 @@ class SearchEngine:
         edges: DataFrame | None = None,
         stop_cf_fraction: float | None = None,
         corpus: DataFrame | None = None,
+        cache_term_stats: bool = False,
     ):
         self.spark = spark
         self.use_stemmer = use_stemmer
@@ -113,6 +114,18 @@ class SearchEngine:
         self.collection_term_count = st.collection_term_count or 0
         self.edges = edges  # (src_doc_id, dst_doc_id) id-lookup relation
         self.stop_cf_fraction = stop_cf_fraction
+        # optional driver-side term dictionary (term -> (df, cf)): removes
+        # the per-query planning jobs (stop-term lookup, rarest-term sort).
+        # Feasible while |vocab| fits driver memory — at web scale leave
+        # off and planning stays as (pruned, tiny) Spark jobs.
+        self.term_stats: dict[str, tuple[int, int]] | None = None
+        if cache_term_stats:
+            self.term_stats = {
+                r.term: (r.df, r.cf)
+                for r in self.index.groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                .collect()
+            }
 
     # ---- analysis (MUST mirror the build path) -------------------------
     def _q(self, text: str) -> list[str]:
@@ -147,20 +160,26 @@ class SearchEngine:
             if not suffix:
                 return self.docs.limit(0).select("doc_id")
             return self.prefix_docids(suffix)
-        stats = (
-            self._index_rows(terms)
-            .groupBy("term")  # hot terms span multiple doc-range rows
-            .agg(F.sum("df").alias("df"))
-            .orderBy("df")
-            .limit(2)
-            .collect()
-        )
-        if len(stats) < len(set(terms)):
-            return self.docs.limit(0).select("doc_id")  # a term is missing
+        if self.term_stats is not None:  # driver-side planning, zero jobs
+            if any(t not in self.term_stats for t in set(terms)):
+                return self.docs.limit(0).select("doc_id")
+            rare = sorted(set(terms), key=lambda t: self.term_stats[t][0])[:2]
+        else:
+            stats = (
+                self._index_rows(terms)
+                .groupBy("term")  # hot terms span multiple doc-range rows
+                .agg(F.sum("df").alias("df"))
+                .orderBy("df")
+                .limit(2)
+                .collect()
+            )
+            if len(stats) < len(set(terms)):
+                return self.docs.limit(0).select("doc_id")  # a term is missing
+            rare = [r.term for r in stats]
         cand = None
-        for r in stats:  # intersect the (≤2) rarest terms' postings
+        for t in rare:  # intersect the (≤2) rarest terms' postings
             ids = decode_postings_df(
-                self.index.filter(F.col("term") == r.term)
+                self.index.filter(F.col("term") == t)
             ).select("doc_id")
             cand = ids if cand is None else cand.join(ids, "doc_id", "left_semi")
         if self.content_df is None:
@@ -289,9 +308,12 @@ class SearchEngine:
     def expand_prefix(self, prefix: str) -> list[str]:
         """Dictionary prefix enumeration (reference DAWG ``keys(prefix)``,
         SearchEngine.py:210) — term-sorted index makes this a pruned scan."""
+        p = prefix.lower()
+        if self.term_stats is not None:  # the in-memory DAWG analogue
+            return sorted(t for t in self.term_stats if t.startswith(p))
         return [
             r.term
-            for r in self.index.filter(F.col("term").startswith(prefix.lower()))
+            for r in self.index.filter(F.col("term").startswith(p))
             .select("term")
             .distinct()
             .collect()
@@ -313,13 +335,16 @@ class SearchEngine:
         # would empty the query.
         if self.stop_cf_fraction and self.collection_term_count:
             thr = self.collection_term_count * self.stop_cf_fraction
-            stats = {
-                r.term: r.cf
-                for r in self._index_rows(terms)
-                .groupBy("term")
-                .agg(F.sum("cf").alias("cf"))
-                .collect()
-            }
+            if self.term_stats is not None:
+                stats = {t: self.term_stats.get(t, (0, 0))[1] for t in terms}
+            else:
+                stats = {
+                    r.term: r.cf
+                    for r in self._index_rows(terms)
+                    .groupBy("term")
+                    .agg(F.sum("cf").alias("cf"))
+                    .collect()
+                }
             kept = [t for t in terms if stats.get(t, 0) <= thr]
             if kept:
                 terms = kept
@@ -331,7 +356,13 @@ class SearchEngine:
         rows = self._index_rows(terms)
         decoded = decode_postings_df(rows)
         # hot terms span multiple doc-range-disjoint rows: df is the sum
-        stats = rows.groupBy("term").agg(F.sum("df").alias("df"))
+        if self.term_stats is not None:
+            present = [t for t in terms if t in self.term_stats]
+            stats = self.spark.createDataFrame(
+                [(t, self.term_stats[t][0]) for t in present], "term string, df long"
+            ) if present else rows.groupBy("term").agg(F.sum("df").alias("df"))
+        else:
+            stats = rows.groupBy("term").agg(F.sum("df").alias("df"))
         k1, b = self.k1, self.b
         idf = F.log(
             F.lit(1.0)

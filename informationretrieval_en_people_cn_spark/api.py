@@ -262,6 +262,14 @@ def q_id_lookup(spark, sf_dir):
     return orders.join(F.broadcast(targets), "o_custkey").select("o_orderkey")
 
 
+def q_ingest_sha256(spark, sf_dir):
+    """The input_hint's named per-row invariant: sha256(content),
+    computed through the ingest path (documents_as_corpus)."""
+    from .sources.corpus import documents_as_corpus
+
+    return documents_as_corpus(spark, sf_dir).select("doc_id", "sha256")
+
+
 def q_dedup_exact(spark, sf_dir):
     return pl.exact_dedup(_docs(spark, sf_dir))
 
@@ -418,6 +426,7 @@ QUERIES = {
     "phrase_positional": q_phrase_positional,
     "id_lookup": q_id_lookup,
     "normalize_text": q_normalize,
+    "ingest_sha256": q_ingest_sha256,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "quality_features": q_quality,
@@ -497,6 +506,7 @@ ORACLES = {
                          '，！？；：（）［］【】。', ',!?;:()[][].') AS norm_text
         FROM documents
     """,
+    "ingest_sha256": "SELECT doc_id, sha256(text) AS sha256 FROM documents",
     "dedup_exact": """
         SELECT sha256(text) AS content_sha256, min(doc_id) AS doc_id
         FROM documents GROUP BY 1

@@ -190,3 +190,15 @@ def test_wand_equals_exhaustive(engine, oracle):
         assert [d for d, _ in got] == [d for d, _ in gold], k
         for (gd, gs), (od, os_) in zip(got, gold):
             assert gs == pytest.approx(os_, rel=1e-12)
+
+
+def test_phrase_prefix_query(engine, corpus_pdf):
+    """Q4 semantics (reference SearchEngine.py:169-172,202): phrase +
+    suffix verified as the literal substring '{phrase} {suffix}'."""
+    phrase, suffix = "posting", "mer"
+    needle = f"{phrase} {suffix}"
+    gold = {
+        r.doc_id for r in corpus_pdf.itertuples() if needle in r.content.lower()
+    }
+    got = {r.doc_id for r in engine.phrase_docids(phrase, suffix).collect()}
+    assert got == gold

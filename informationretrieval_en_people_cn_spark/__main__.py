@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--file", required=True)
     q.add_argument("-k", type=int, default=10)
+    for sp in (s, q):
+        sp.add_argument(
+            "--edges",
+            help="parquet of (src_doc_id, dst_doc_id) for ReplyTo queries",
+        )
 
     args = p.parse_args(argv)
 
@@ -70,7 +75,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from .plans.engine import SearchEngine
 
-            eng = SearchEngine(spark, args.index)
+            edges = spark.read.parquet(args.edges) if args.edges else None
+            eng = SearchEngine(spark, args.index, edges=edges)
             queries = (
                 [args.query]
                 if args.cmd == "search"
@@ -82,15 +88,18 @@ def main(argv: list[str] | None = None) -> int:
             )
             for query in queries:
                 print(f"# {query}")
-                if args.cmd == "search" and args.wand:
-                    for doc_id, score in eng.wand_search(query, k=args.k):
-                        print(f"{doc_id}\t{score:.6f}")
-                else:
-                    for r in eng.search(query, k=args.k).collect():
-                        if hasattr(r, "score"):
-                            print(f"{r.doc_id}\t{r.score:.6f}")
-                        else:
-                            print(r.doc_id)
+                try:
+                    if args.cmd == "search" and args.wand:
+                        for doc_id, score in eng.wand_search(query, k=args.k):
+                            print(f"{doc_id}\t{score:.6f}")
+                    else:
+                        for r in eng.search(query, k=args.k).collect():
+                            if hasattr(r, "score"):
+                                print(f"{r.doc_id}\t{r.score:.6f}")
+                            else:
+                                print(r.doc_id)
+                except Exception as e:  # one bad query must not kill the file
+                    print(f"error: {type(e).__name__}: {e}")
         return 0
     finally:
         spark.stop()

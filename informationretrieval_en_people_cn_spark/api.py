@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .functions.analyze import indexed_tokens_expr, tokens_expr
+from .functions.analyze import indexed_tokens_expr
 from .operators import pipeline as pl
 from .operators import similarity as sim
 from .operators.build import POSTING_ROW_SCHEMA

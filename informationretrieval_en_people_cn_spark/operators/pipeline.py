@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.analyze import TOKEN_PATTERN, indexed_tokens_expr, tokens_expr
+from ..functions.analyze import indexed_tokens_expr, tokens_expr
 
 # ---------------------------------------------------------------------------
 # Exact dedup

@@ -102,8 +102,6 @@ def refresh_index(
     Only compressed frames move; tokenization never re-runs.  The merge
     output replaces the index atomically (parquet overwrite).
     """
-    from pyspark.sql import functions as F
-
     paths = IndexPaths(out_dir)
     all_runs = spark.read.option("recursiveFileLookup", "true").parquet(paths.runs)
     merged = (

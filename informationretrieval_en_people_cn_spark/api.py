@@ -247,9 +247,12 @@ def q_phrase_positional(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup clustering: minhash LSH pairs -> connected components."""
-    pairs = pl.minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_hashes=64, bands=16, shingle_n=2, threshold=0.3
+    """Near-dup clustering: EXACT n-gram Jaccard pairs -> connected
+    components (min-label).  Built on the exact pair set (not LSH) so a
+    DuckDB recursive-CTE oracle can value-check the clustering; the LSH
+    variant exercises the identical dedup_clusters operator."""
+    pairs = pl.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=2, threshold=0.35, max_shingle_df=None
     )
     return pl.dedup_clusters(pairs)
 
@@ -364,11 +367,24 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_fingerprints(spark, sf_dir):
-    return pl.doc_fingerprints(_docs(spark, sf_dir))
+    """Winnowing-style fingerprints with the md5 hash family so DuckDB
+    can replicate them (driver surface serializes the array — the
+    driver's canonicalizer cannot sort array cells)."""
+    fp = pl.doc_fingerprints(_docs(spark, sf_dir), hash_fn="md5")
+    return fp.select(
+        "doc_id",
+        F.concat_ws(",", F.col("fingerprint")).alias("fingerprint_csv"),
+    )
 
 
 def q_minhash_signatures(spark, sf_dir):
-    return pl.minhash_signatures(_docs(spark, sf_dir), num_hashes=32, shingle_n=2)
+    sigs = pl.minhash_signatures(_docs(spark, sf_dir), num_hashes=32, shingle_n=2)
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("signature", lambda x: x.cast("string"))
+        ).alias("signature_csv"),
+    )
 
 
 def q_ann_lsh(spark, sf_dir, k: int = 10):
@@ -389,7 +405,19 @@ def q_media_features(spark, sf_dir):
     from .operators import multimodal as mm
 
     media = mm.synth_media(spark, n=48)
-    return mm.extract_features(media)
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_sha256",
+        "n_bytes",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature", lambda x: F.round(x.cast("double"), 6).cast("string")
+            ),
+        ).alias("feature_csv"),
+    )
 
 
 def q_search_engine_topk(spark, sf_dir):
@@ -407,6 +435,26 @@ def q_search_engine_topk(spark, sf_dir):
     build_index(spark, corpus, out, slices=2, salt=2)
     eng = SearchEngine(spark, out)
     return eng.search("merge window spark", k=10)
+
+
+def q_search_engine_topk_unstemmed(spark, sf_dir):
+    """Flagship end-to-end path WITH a value oracle: full build (stage A
+    runs -> salted merge -> compressed index) -> query parse -> BM25
+    score -> top-k, stemming off so DuckDB can replicate the analyzer
+    exactly (same trick as phrase_positional).  Every byte of the
+    result has passed through the codec and the merged index."""
+    import tempfile
+
+    from .operators.build import build_index
+    from .plans.engine import SearchEngine
+    from .sources.corpus import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="irxu_")
+    build_index(spark, corpus, out, slices=2, salt=2, use_stemmer=False)
+    eng = SearchEngine(spark, out, use_stemmer=False)
+    res = eng.search("merge window spark", k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score_r"))
 
 
 # ---------------------------------------------------------------------------
@@ -446,6 +494,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf,
     "media_features": q_media_features,
     "search_engine_topk": q_search_engine_topk,
+    "search_engine_topk_unstemmed": q_search_engine_topk_unstemmed,
 }
 
 _BM25_SQL = f"""
@@ -464,10 +513,13 @@ SELECT doc_id, round(sum(s), 6) AS score_r FROM scored GROUP BY doc_id
 
 ORACLES = {
     "doclen": f"SELECT doc_id, len({_SQL_TOKS}) AS doclen FROM documents",
+    # BIGINT casts: DuckDB's sum() yields HUGEINT whose repr poisons the
+    # driver's value hash even when the numbers are equal (round-1 red cell)
     "term_stats": f"""
         WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
              tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
-        SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+        SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        FROM tf GROUP BY term
     """,
     "bm25_scores": _BM25_SQL,
     "bm25_topk": f"SELECT * FROM ({_BM25_SQL}) ORDER BY score_r DESC, doc_id LIMIT 20",
@@ -593,6 +645,58 @@ ORACLES = {
                                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
           FROM orders) WHERE rnk <= 3
     """,
+    # winnowing fingerprint, md5 hash family (n=5 shingles, keep 8)
+    "fingerprints": f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tl FROM documents),
+        g AS (SELECT doc_id,
+                CASE WHEN len(tl) >= 5 THEN
+                  list_distinct(list_transform(range(1, len(tl) - 3),
+                    i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+                         || ' ' || tl[i+3] || ' ' || tl[i+4]))
+                ELSE []::VARCHAR[] END AS grams
+              FROM t)
+        SELECT doc_id,
+               array_to_string(
+                 list_sort(list_distinct(list_transform(grams, s -> md5(s))))[1:8],
+                 ',') AS fingerprint_csv
+        FROM g
+    """,
+    # connected components over the EXACT 2-gram Jaccard pairs (>= 0.35):
+    # transitive closure by recursive CTE, cluster_id = component min
+    "dedup_clusters": """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                             t -> length(t) BETWEEN 2 AND 128) AS tl
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, sg FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tl)),
+                          i -> tl[i] || ' ' || tl[i + 1])) AS sg
+            FROM toks WHERE len(tl) >= 2)),
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b
+          WHERE i / (sa.sz + sb.sz - i) >= 0.35),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    """,
+    "search_engine_topk_unstemmed": (
+        f"SELECT * FROM ({_BM25_SQL}) ORDER BY score_r DESC, doc_id LIMIT 10"
+    ),
 }
 
 _PROFILE_VALUES = ", ".join(

@@ -524,13 +524,24 @@ def doc_fingerprints(
     id_col: str = "doc_id",
     n: int = 5,
     keep: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing-style fingerprint: the ``keep`` smallest distinct
-    xxhash64 values over word n-grams (a rolling-hash sample).  Pure
-    Catalyst; deterministic; used for fast containment/overlap probes.
+    hashes over word n-grams (a rolling-hash sample).  Pure Catalyst;
+    deterministic; used for fast containment/overlap probes.
+
+    ``hash_fn``: ``"xxhash64"`` (fast JVM hash, array<long>) or
+    ``"md5"`` (hex strings — slower but replicable by the DuckDB
+    oracle, used by the driver-checked query surface).
     """
     grams = shingles_expr(F.col(text_col), n)
-    hashes = F.array_sort(F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))))
+    if hash_fn == "md5":
+        hasher = lambda g: F.md5(g)  # noqa: E731
+    elif hash_fn == "xxhash64":
+        hasher = lambda g: F.xxhash64(g)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    hashes = F.array_sort(F.array_distinct(F.transform(grams, hasher)))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.slice(hashes, 1, keep).alias("fingerprint"),

@@ -41,8 +41,15 @@ def read_manifest(out_dir: str) -> list[dict]:
     with open(p, encoding="utf-8") as f:
         for line in f:
             line = line.strip()
-            if line:
+            if not line:
+                continue
+            try:
                 rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                # torn line from a crash mid-append: skip it — the unit
+                # it described simply re-runs (this is the crash-resume
+                # guarantee commit() promises)
+                continue
     return rows
 
 

@@ -193,7 +193,10 @@ def partition_runs(
         for pdf in batches:
             terms_lists = analyze_batch(pdf["content"], use_stemmer=use_stemmer)
             for doc_id, terms in zip(pdf["doc_id"], terms_lists):
-                bucket = min(buckets - 1, int(buckets * (doc_id - lo) / span))
+                # float math mirrors _range_bucket: buckets*(doc_id-lo) in
+                # numpy int64 silently overflows for hash-sized ids and
+                # would disagree with the Catalyst slice assignment
+                bucket = min(buckets - 1, int(buckets * ((int(doc_id) - lo) / span)))
                 if store_positions:
                     groups: dict[str, list[int]] = {}
                     for p, term in enumerate(terms):
@@ -416,32 +419,30 @@ def build_index(
     )
 
     _mark("bounds")
-    corpus_s = corpus.withColumn("slice", _range_bucket("doc_id", lo, span, slices))
-    # one job for all per-slice doc counts (manifest metrics) instead of
-    # one count job per slice
-    slice_counts = {
-        r.slice: r.n
-        for r in corpus_s.groupBy("slice").agg(F.count("*").alias("n")).collect()
-    }
+    fp_all = ckpt.fingerprint_of(cfg=cfg_fp, stage="runs_all")
+    if not resume:
+        # fresh build: wipe stale runs + manifest — a previous build into
+        # this out_dir with a different slice count would otherwise be
+        # merged in, silently duplicating every doc's postings
+        import shutil
 
-    _mark("slice_counts")
-    # -- Stage A: per-slice narrow tokenize+encode into runs (resumable)
-    for s in range(slices):
-        fp = ckpt.fingerprint_of(cfg=cfg_fp, slice=s)
-        run_path = os.path.join(paths.runs, f"slice={s}")
-        if done.get(("runs", s)) == fp:
-            continue
+        shutil.rmtree(paths.runs, ignore_errors=True)
+        mp = ckpt.manifest_path(out_dir)
+        if os.path.exists(mp):
+            os.remove(mp)
+        done = {}
+
+    # -- Stage A: narrow tokenize+encode into runs.
+    # Fast path (resume=False): ONE job over the whole corpus — the
+    # per-slice loop exists only for checkpoint granularity, and each
+    # slice job carries fixed scheduling cost that dominates small
+    # builds.  Resume path: per-slice jobs, each committed in the
+    # manifest so a killed build never re-tokenizes finished slices.
+    if not resume:
         t0 = time.time()
-        # Range-partition the slice by doc_id before tokenizing: each
-        # task then covers a contiguous doc range touching ~1 salt
-        # bucket, so it emits ~|vocab| frames instead of |vocab × salt|
-        # (an unsorted input would multiply run rows by the bucket
-        # count).  This is the Spark analogue of writing the corpus as
-        # a doc_id-sorted Iceberg table — which the docs table below
-        # does, so a rebuild from our own layout skips the sort.
-        part = corpus_s.filter(F.col("slice") == s)
+        part = corpus
         if not sorted_input:
-            nparts = max(spark.sparkContext.defaultParallelism, salt)
+            nparts = max(spark.sparkContext.defaultParallelism, buckets)
             part = part.repartitionByRange(nparts, "doc_id")
         runs = partition_runs(
             part,
@@ -451,25 +452,70 @@ def build_index(
             use_stemmer=use_stemmer,
             store_positions=store_positions,
         )
-        runs.write.mode("overwrite").parquet(run_path)
-        _mark(f"slice{s} tokenize+encode+write")
-        stats = spark.read.parquet(run_path).agg(
-            F.count("*").alias("frames"),
-            F.sum("df").alias("n_postings"),
-            F.countDistinct("term").alias("n_terms"),
-        ).collect()[0]
-        _mark(f"slice{s} stats")
+        runs.write.mode("overwrite").parquet(paths.runs)
+        _mark("tokenize+encode+write (single job)")
         ckpt.commit(
             out_dir,
-            partition_id=s,
-            stage="runs",
-            fingerprint=fp,
-            path=run_path,
-            n_docs=slice_counts.get(s, 0),
-            n_terms=stats.n_terms or 0,
-            n_postings=stats.n_postings or 0,
+            partition_id=-2,
+            stage="runs_all",
+            fingerprint=fp_all,
+            path=paths.runs,
+            n_docs=n_docs,
             wall_ms=int((time.time() - t0) * 1000),
         )
+        run_inputs = [paths.runs]
+    elif done.get(("runs_all", -2)) == fp_all:
+        # a completed fresh build of the same config: nothing to do
+        run_inputs = [paths.runs]
+    else:
+        corpus_s = corpus.withColumn(
+            "slice", _range_bucket("doc_id", lo, span, slices)
+        )
+        # one job for all per-slice doc counts (manifest metrics)
+        slice_counts = {
+            r.slice: r.n
+            for r in corpus_s.groupBy("slice").agg(F.count("*").alias("n")).collect()
+        }
+        _mark("slice_counts")
+        for s in range(slices):
+            fp = ckpt.fingerprint_of(cfg=cfg_fp, slice=s)
+            run_path = os.path.join(paths.runs, f"slice={s}")
+            if done.get(("runs", s)) == fp:
+                continue
+            t0 = time.time()
+            # Range-partition the slice by doc_id before tokenizing: each
+            # task then covers a contiguous doc range touching ~1 salt
+            # bucket, so it emits ~|vocab| frames instead of |vocab × salt|
+            # (an unsorted input would multiply run rows by the bucket
+            # count).  This is the Spark analogue of writing the corpus as
+            # a doc_id-sorted Iceberg table — which the docs table below
+            # does, so a rebuild from our own layout skips the sort.
+            part = corpus_s.filter(F.col("slice") == s)
+            if not sorted_input:
+                nparts = max(spark.sparkContext.defaultParallelism, salt)
+                part = part.repartitionByRange(nparts, "doc_id")
+            runs = partition_runs(
+                part,
+                lo=lo,
+                span=span,
+                buckets=buckets,
+                use_stemmer=use_stemmer,
+                store_positions=store_positions,
+            )
+            runs.write.mode("overwrite").parquet(run_path)
+            _mark(f"slice{s} tokenize+encode+write")
+            ckpt.commit(
+                out_dir,
+                partition_id=s,
+                stage="runs",
+                fingerprint=fp,
+                path=run_path,
+                n_docs=slice_counts.get(s, 0),
+                wall_ms=int((time.time() - t0) * 1000),
+            )
+        # read ONLY this config's slice dirs — stale slice=N dirs from an
+        # older build with more slices must not leak into the merge
+        run_inputs = [os.path.join(paths.runs, f"slice={s}") for s in range(slices)]
 
     # -- Stage B: distributed salted merge (replaces the single-threaded
     # k-way merge, IndexCreator.py:259-348).  Group = (term, salt); a
@@ -478,7 +524,7 @@ def build_index(
     fp_merge = ckpt.fingerprint_of(cfg=cfg_fp, stage="merge")
     if not (resume and done.get(("merge", -1)) == fp_merge):
         t0 = time.time()
-        all_runs = spark.read.parquet(paths.runs)
+        all_runs = spark.read.parquet(*run_inputs)
         # persist before repartitionByRange: range partitioning samples
         # its child, which would otherwise recompute the merge twice
         merged = (

@@ -413,16 +413,34 @@ class SearchEngine:
             )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def wand_search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def wand_search(
+        self, query: str, k: int = 10, *, max_postings: int = 5_000_000
+    ) -> list[tuple[int, float]]:
         """Low-latency single-query path: block-max WAND over postings
         pulled to the driver (reference's DAAT loop, SearchEngine.py:94-126,
         upgraded with pruning).  Returns the same ranking as the
-        distributed plan (tested); use when the query's posting lists
-        fit driver memory — at scale the distributed plan takes over.
+        distributed plan (tested).
+
+        Guard: if the query's total df exceeds ``max_postings`` the
+        driver-side collect would OOM on a Zipf-head term, so the
+        distributed plan (:meth:`score_terms`) takes over — the check is
+        free with cached term stats, else one pruned metadata-scale job.
         """
         terms = self._query_terms(query)
         if not terms:
             return []
+        if self.term_stats is not None:
+            total_df = sum(self.term_stats.get(t, (0, 0))[0] for t in set(terms))
+        else:
+            row = (
+                self._index_rows(terms).agg(F.sum("df").alias("s")).collect()[0]
+            )
+            total_df = int(row.s or 0)
+        if total_df > max_postings:  # hot term: stay distributed
+            return [
+                (int(r.doc_id), float(r.score))
+                for r in self.score_terms(terms, k).collect()
+            ]
         rows = self._index_rows(terms).select("term", "postings").collect()
         if not rows:  # no query term exists in the dictionary
             return []
@@ -473,22 +491,35 @@ def wand_topk(
     b: float = 0.75,
     block_size: int = 128,
 ) -> list[tuple[int, float]]:
-    """Block-max WAND top-k over decoded postings.
+    """Block-max WAND top-k over decoded postings (Ding & Suel BMW).
 
     ``postings[term] = (doc_ids ascending, tfs)``; ``doclens`` is indexed
     by doc_id.  Upper bound per block: idf * maxtf*(k1+1)/(maxtf+k1*(1-b))
-    (doclen→0 bound — valid since tfp decreases in doclen).  Returns
-    [(doc_id, score)] sorted by (-score, doc_id): identical results to
-    the exhaustive plan, fewer scored docs.
+    (doclen→0 bound — valid since tfp decreases in doclen).
+
+    Soundness split (this is what makes pruning correct):
+
+    * pivot selection AND termination use each term's **global** upper
+      bound (max over all its blocks) — a block-local UB does not bound
+      later blocks, so using it there silently drops high-tf docs in
+      later blocks;
+    * the per-**block** maxima are only the secondary check: when the
+      lists aligned at the pivot can't beat the threshold even by their
+      current-block bounds, skip to the nearest block boundary instead
+      of scoring.
+
+    Returns [(doc_id, score)] sorted by (-score, doc_id): identical
+    results to the exhaustive plan, fewer scored docs.
     """
     terms = [t for t in postings if len(postings[t][0])]
     if not terms:
         return []
     idf = {t: bm25_idf(n_docs, dfs[t]) for t in terms}
 
-    # per-term block maxima
+    # per-term block maxima + global term bound
     block_ub: dict[str, np.ndarray] = {}
     block_last: dict[str, np.ndarray] = {}
+    term_gub: dict[str, float] = {}
     for t in terms:
         tfs = postings[t][1].astype(np.float64)
         docs = postings[t][0]
@@ -501,50 +532,68 @@ def wand_topk(
             last[i] = docs[min((i + 1) * block_size, len(docs)) - 1]
         block_ub[t] = ubs
         block_last[t] = last
+        term_gub[t] = float(ubs.max())
 
     cursors = {t: 0 for t in terms}
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
     threshold = -math.inf
 
-    def term_ub(t: str) -> float:
-        bi = cursors[t] // 1  # current posting index → block
-        blk = np.searchsorted(block_last[t], postings[t][0][cursors[t]])
-        return float(block_ub[t][blk])
+    def cur_doc(t: str) -> int:
+        return int(postings[t][0][cursors[t]])
+
+    def cur_block(t: str, doc: int) -> int:
+        return int(np.searchsorted(block_last[t], doc))
 
     while True:
         live = [t for t in terms if cursors[t] < len(postings[t][0])]
         if not live:
             break
-        live.sort(key=lambda t: postings[t][0][cursors[t]])
-        # pivot: smallest prefix whose UB sum exceeds threshold
+        live.sort(key=lambda t: (cur_doc(t), t))
+        # pivot: smallest prefix whose GLOBAL UB sum can beat threshold
         acc = 0.0
         pivot_i = None
         for i, t in enumerate(live):
-            acc += term_ub(t)
-            if acc > threshold or len(heap) < k:
+            acc += term_gub[t]
+            if len(heap) < k or acc > threshold:
                 pivot_i = i
                 break
         if pivot_i is None:
-            break
-        pivot_doc = int(postings[live[pivot_i]][0][cursors[live[pivot_i]]])
-        first_doc = int(postings[live[0]][0][cursors[live[0]]])
+            break  # sound: global UBs bound every remaining posting
+        pivot_doc = cur_doc(live[pivot_i])
+        first_doc = cur_doc(live[0])
         if first_doc == pivot_doc:
+            # all lists positioned AT pivot_doc (sorted ⇒ the aligned
+            # set is every live term whose current doc equals the pivot)
+            eq_terms = [t for t in live if cur_doc(t) == pivot_doc]
+            gt_docs = [cur_doc(t) for t in live if cur_doc(t) > pivot_doc]
+            eq_blocks = {t: cur_block(t, pivot_doc) for t in eq_terms}
+            block_bound = sum(float(block_ub[t][eq_blocks[t]]) for t in eq_terms)
+            if len(heap) == k and block_bound <= threshold:
+                # block-max skip: no doc in [pivot_doc, d') can beat the
+                # threshold — only eq_terms occur there (others' cursors
+                # are >= d') and each is bounded by its CURRENT block max
+                d_prime = min(
+                    int(block_last[t][eq_blocks[t]]) for t in eq_terms
+                ) + 1
+                if gt_docs:
+                    d_prime = min(d_prime, min(gt_docs))
+                d_prime = max(d_prime, pivot_doc + 1)  # guaranteed progress
+                for t in eq_terms:
+                    cursors[t] = int(np.searchsorted(postings[t][0], d_prime))
+                continue
             if isinstance(doclens, dict):  # sparse (hashed doc_ids)
                 dl = float(doclens.get(pivot_doc, 0))
             else:
                 dl = float(doclens[pivot_doc]) if pivot_doc < len(doclens) else 0.0
             score = 0.0
-            for t in sorted(terms):
-                docs, tfs = postings[t]
-                ci = cursors[t]
-                if ci < len(docs) and docs[ci] == pivot_doc:
-                    tf = float(tfs[ci])
-                    score += (
-                        idf[t]
-                        * (tf * (k1 + 1))
-                        / (tf + k1 * (1 - b + b * dl / avgdl))
-                    )
-                    cursors[t] += 1
+            for t in sorted(eq_terms):
+                tf = float(postings[t][1][cursors[t]])
+                score += (
+                    idf[t]
+                    * (tf * (k1 + 1))
+                    / (tf + k1 * (1 - b + b * dl / avgdl))
+                )
+                cursors[t] += 1
             item = (score, -pivot_doc)
             if len(heap) < k:
                 heapq.heappush(heap, item)
@@ -553,8 +602,7 @@ def wand_topk(
             if len(heap) == k:
                 threshold = heap[0][0]
         else:
-            # advance all pre-pivot cursors to >= pivot_doc (skip via
-            # searchsorted — the block-max skip)
+            # advance all pre-pivot cursors to >= pivot_doc
             for t in live[:pivot_i]:
                 docs = postings[t][0]
                 cursors[t] = int(np.searchsorted(docs, pivot_doc))

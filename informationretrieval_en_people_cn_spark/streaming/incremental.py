@@ -94,14 +94,44 @@ def incremental_index(
     return writer.start()
 
 
-def refresh_index(
-    spark: SparkSession, out_dir: str, *, block_size: int = 128, index_files: int = 8
-) -> None:
-    """Re-merge ALL runs (batch + streamed) into the index table.
+def _swap_in(path: str) -> None:
+    """Promote ``path + '_new'`` over ``path`` via rename — readers see
+    old or new, never a mix.  NOTE: rename-as-swap assumes a local /
+    HDFS-like filesystem; on object stores use a metastore pointer (or
+    Iceberg snapshot commit) instead."""
+    import shutil
 
-    Only compressed frames move; tokenization never re-runs.  The merge
-    output replaces the index atomically (parquet overwrite).
+    if os.path.exists(path):
+        shutil.rmtree(path + "_old", ignore_errors=True)
+        os.rename(path, path + "_old")
+    os.rename(path + "_new", path)
+    shutil.rmtree(path + "_old", ignore_errors=True)
+
+
+def refresh_index(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    corpus: DataFrame | None = None,
+    block_size: int = 128,
+    index_files: int = 8,
+) -> None:
+    """Re-merge ALL runs (batch + streamed) into the index table AND
+    rebuild the docs/stats tables, so the refreshed dir is fully
+    loadable by SearchEngine and ranked queries see streamed docs.
+
+    Only compressed frames move; tokenization never re-runs (doc
+    lengths are decoded from the committed runs).  ``corpus`` — the
+    source table covering every indexed doc — enriches the docs table
+    with the corpus columns (content for phrase verification, repo /
+    path / lang).  Without it the docs table carries (doc_id, doclen)
+    only, which serves ranked + boolean lookups; docs that index zero
+    terms are then absent, so n_docs counts indexed docs only.
     """
+    from pyspark.sql import functions as F
+
+    from ..operators.build import _doclens_from_runs
+
     paths = IndexPaths(out_dir)
     all_runs = spark.read.option("recursiveFileLookup", "true").parquet(paths.runs)
     merged = (
@@ -116,11 +146,36 @@ def refresh_index(
         .parquet(paths.index + "_new")
     )
     merged.unpersist()
-    # atomic swap (rename) — readers see old or new, never a mix
-    import shutil
 
-    if os.path.exists(paths.index):
-        shutil.rmtree(paths.index + "_old", ignore_errors=True)
-        os.rename(paths.index, paths.index + "_old")
-    os.rename(paths.index + "_new", paths.index)
-    shutil.rmtree(paths.index + "_old", ignore_errors=True)
+    # docs + stats from committed runs (round-1 advice: a stream-only
+    # out_dir was unloadable, and a refreshed batch dir served stale
+    # n_docs/avgdl while score_terms' docs join dropped streamed docs)
+    dl = _doclens_from_runs(all_runs).groupBy("doc_id").agg(
+        F.sum("tf").alias("doclen")
+    )
+    if corpus is not None:
+        doc_cols = [
+            c
+            for c in ("doc_id", "repo", "path", "commit", "lang", "content", "sha256")
+            if c in corpus.columns
+        ]
+        docs = (
+            corpus.select(*doc_cols)
+            .join(dl, "doc_id", "left")
+            .withColumn("doclen", F.coalesce("doclen", F.lit(0)))
+        )
+    else:
+        docs = dl
+    docs.repartitionByRange(index_files, "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.mode("overwrite").parquet(paths.docs + "_new")
+    stats = spark.read.parquet(paths.docs + "_new").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").alias("collection_term_count"),
+        F.avg("doclen").alias("avg_doclen"),
+    )
+    stats.write.mode("overwrite").parquet(paths.stats + "_new")
+
+    _swap_in(paths.index)
+    _swap_in(paths.docs)
+    _swap_in(paths.stats)

@@ -202,3 +202,51 @@ def test_phrase_prefix_query(engine, corpus_pdf):
     }
     got = {r.doc_id for r in engine.phrase_docids(phrase, suffix).collect()}
     assert got == gold
+
+
+def _bm25_exhaustive(postings, dfs, doclens, n_docs, avgdl, k, k1=1.2, b=0.75):
+    from informationretrieval_en_people_cn_spark.plans.engine import bm25_idf
+
+    scores = {}
+    for t in sorted(postings):  # canonical term order (matches wand_topk)
+        docs, tfs = postings[t]
+        idf = bm25_idf(n_docs, dfs[t])
+        for d, tf in zip(docs, tfs):
+            dl = float(doclens[int(d)])
+            scores[int(d)] = scores.get(int(d), 0.0) + idf * (
+                float(tf) * (k1 + 1)
+            ) / (float(tf) + k1 * (1 - b + b * dl / avgdl))
+    return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+def test_wand_blockmax_late_high_block():
+    """Regression (round-1 advice): a low-tf middle block must not
+    terminate the traversal — the true top-k lives in a LATER block.
+    Unsound current-block pivot bounds returned docs 0-3 here."""
+    docs = np.arange(12, dtype=np.int64)
+    tfs = np.array([50] * 4 + [1] * 4 + [60] * 4, dtype=np.int64)
+    postings = {"t": (docs, tfs)}
+    doclens = np.full(12, 10, dtype=np.int64)
+    got = wand_topk(postings, {"t": 12}, doclens, 12, 10.0, 4, block_size=4)
+    want = _bm25_exhaustive(postings, {"t": 12}, doclens, 12, 10.0, 4)
+    assert [d for d, _ in got] == [d for d, _ in want] == [8, 9, 10, 11]
+
+
+def test_wand_random_equals_exhaustive_across_block_sizes():
+    rng = np.random.RandomState(7)
+    n_docs = 80
+    doclens = rng.randint(5, 50, size=n_docs).astype(np.int64)
+    avgdl = float(doclens.mean())
+    postings, dfs = {}, {}
+    for t in ["a", "b", "c", "d"]:
+        m = np.sort(rng.choice(n_docs, size=rng.randint(10, 60), replace=False))
+        tf = rng.randint(1, 80, size=len(m))
+        postings[t] = (m.astype(np.int64), tf.astype(np.int64))
+        dfs[t] = len(m)
+    for bs in (1, 2, 4, 16, 128):
+        for k in (1, 5, 20, 200):
+            got = wand_topk(postings, dfs, doclens, n_docs, avgdl, k, block_size=bs)
+            want = _bm25_exhaustive(postings, dfs, doclens, n_docs, avgdl, k)
+            assert [d for d, _ in got] == [d for d, _ in want], (bs, k)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, rel=1e-12)

@@ -95,3 +95,136 @@ def test_salt_config_invariance(spark, corpus, tmp_path):
     assert set(pa) == set(pb)
     for term in pa:
         assert pa[term] == pb[term], term
+
+
+def test_wand_search_hot_term_guard(engine):
+    """A query whose Σdf exceeds the driver budget must take the
+    distributed plan (no posting collect) and rank identically."""
+    q = "return value"
+    want = [(r.doc_id, r.score) for r in engine.search(q, 10).collect()]
+    got = engine.wand_search(q, k=10, max_postings=1)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def _postings_map(spark, path):
+    import numpy as np
+
+    from informationretrieval_en_people_cn_spark.functions.codec import decode_frames
+
+    acc = {}
+    for r in spark.read.parquet(f"{path}/index").collect():
+        acc.setdefault(r.term, []).append(r)
+    out = {}
+    for term, rs in acc.items():
+        rs.sort(key=lambda r: r.first_doc)
+        d = np.concatenate([decode_frames(bytes(r.postings))[0] for r in rs])
+        t = np.concatenate([decode_frames(bytes(r.postings))[1] for r in rs])
+        out[term] = (d.tolist(), t.tolist())
+    return out
+
+
+def test_rebuild_with_fewer_slices_no_stale_runs(spark, corpus, tmp_path):
+    """Regression (round-1 advice): rebuilding into an existing out_dir
+    with a different slice count must not merge stale slice=N run dirs
+    (which silently duplicated every doc's postings)."""
+    from informationretrieval_en_people_cn_spark.operators.build import build_index
+
+    ref = str(tmp_path / "ref")
+    build_index(spark, corpus, ref, slices=2, salt=2)
+
+    out = str(tmp_path / "idx")
+    # first build via the per-slice (resume) path so slice dirs exist
+    build_index(spark, corpus, out, slices=4, salt=2, resume=True)
+    # fresh rebuild with fewer slices into the SAME dir
+    build_index(spark, corpus, out, slices=2, salt=2, resume=False)
+
+    assert _postings_map(spark, out) == _postings_map(spark, ref)
+    # df/cf not inflated
+    import pyspark.sql.functions as SF
+
+    a = {
+        r.term: (r.df, r.cf)
+        for r in spark.read.parquet(f"{out}/index")
+        .groupBy("term").agg(SF.sum("df").alias("df"), SF.sum("cf").alias("cf"))
+        .collect()
+    }
+    b = {
+        r.term: (r.df, r.cf)
+        for r in spark.read.parquet(f"{ref}/index")
+        .groupBy("term").agg(SF.sum("df").alias("df"), SF.sum("cf").alias("cf"))
+        .collect()
+    }
+    assert a == b
+
+
+def test_resume_with_stale_extra_slice_dirs(spark, corpus, tmp_path):
+    """Resume path reads ONLY this config's slice dirs: a stale slice=9
+    dir from an older, wider build must not leak into the merge."""
+    import shutil
+
+    from informationretrieval_en_people_cn_spark.operators.build import build_index
+
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus, out, slices=2, salt=2, resume=True)
+    want = _postings_map(spark, out)
+    # plant a stale extra slice dir (copy of slice=0) + wipe merge commit
+    shutil.copytree(
+        os.path.join(out, "runs", "slice=0"), os.path.join(out, "runs", "slice=9")
+    )
+    manifest = os.path.join(out, "manifest.jsonl")
+    rows = [json.loads(l) for l in open(manifest)]
+    with open(manifest, "w") as f:
+        for r in rows:
+            if r["stage"] != "merge":
+                f.write(json.dumps(r) + "\n")
+    build_index(spark, corpus, out, slices=2, salt=2, resume=True)
+    assert _postings_map(spark, out) == want
+
+
+def test_manifest_torn_line_is_skipped(tmp_path):
+    """A crash mid-append leaves a torn final line; the reader must skip
+    it (and resume re-runs that unit) instead of raising."""
+    from informationretrieval_en_people_cn_spark import checkpoint as ckpt
+
+    out = str(tmp_path / "m")
+    ckpt.commit(out, partition_id=0, stage="runs", fingerprint="abc", path="p")
+    with open(ckpt.manifest_path(out), "a") as f:
+        f.write('{"partition_id": 1, "stage": "runs", "finger')  # torn
+    rows = ckpt.read_manifest(out)
+    assert len(rows) == 1 and rows[0]["partition_id"] == 0
+    assert ckpt.committed(out) == {("runs", 0): "abc"}
+
+
+def test_hash_sized_doc_ids_bucket_agreement(spark):
+    """Regression (round-1 advice): buckets*(doc_id-lo) overflows int64
+    for hash-sized ids; the Python bucket must mirror _range_bucket's
+    float math and stay in [0, buckets)."""
+    from informationretrieval_en_people_cn_spark.functions.codec import decode_frames
+    from informationretrieval_en_people_cn_spark.operators.build import (
+        _range_bucket,
+        partition_runs,
+    )
+
+    lo, hi = 3, (1 << 62) + 12345
+    span = hi - lo + 1
+    buckets = 64
+    ids = [lo, lo + 1, hi, hi - 7, (1 << 61) + 99, (1 << 60) - 1, 123456789]
+    df = spark.createDataFrame(
+        [(i, "hello world tokens") for i in ids], "doc_id long, content string"
+    )
+    runs = partition_runs(df, lo=lo, span=span, buckets=buckets).collect()
+    got = {}
+    for r in runs:
+        d, _, _ = decode_frames(bytes(r.frame))
+        for doc in d:
+            got[int(doc)] = r.salt
+    want = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id", _range_bucket("doc_id", lo, span, buckets).alias("b")
+        ).collect()
+    }
+    assert set(got) == set(ids)
+    for i in ids:
+        assert 0 <= got[i] < buckets, i
+        assert got[i] == want[i], i

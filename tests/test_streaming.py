@@ -76,5 +76,28 @@ def test_streamed_equals_batch(spark, corpus, tmp_path):
     for term in want:
         assert got[term] == want[term], term
 
+    # a stream-only out_dir must be fully loadable (round-1 advice:
+    # refresh never wrote docs/stats, so SearchEngine crashed on load
+    # and ranked joins dropped every streamed doc)
+    from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
+
+    eng_stream = SearchEngine(spark, stream_dir, corpus=corpus)
+    eng_batch = SearchEngine(spark, batch_dir)
+    assert eng_stream.n_docs > 0
+    kw = {r.doc_id for r in eng_stream.keyword_docids("merge").collect()}
+    assert kw == {r.doc_id for r in eng_batch.keyword_docids("merge").collect()}
+
+    # with the corpus supplied, docs/stats match the batch build exactly
+    # and ranked retrieval is rank- and score-identical
+    refresh_index(spark, stream_dir, corpus=corpus)
+    eng_stream = SearchEngine(spark, stream_dir)
+    assert eng_stream.n_docs == eng_batch.n_docs
+    assert eng_stream.avgdl == pytest.approx(eng_batch.avgdl, rel=1e-12)
+    got_r = [(r.doc_id, r.score) for r in eng_stream.search("merge window", 10).collect()]
+    want_r = [(r.doc_id, r.score) for r in eng_batch.search("merge window", 10).collect()]
+    assert [d for d, _ in got_r] == [d for d, _ in want_r]
+    for (gd, gs), (wd, ws) in zip(got_r, want_r):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
     shutil.rmtree(batch_dir, ignore_errors=True)
     shutil.rmtree(stream_dir, ignore_errors=True)

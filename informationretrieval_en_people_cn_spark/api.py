@@ -315,6 +315,22 @@ def q_ann_cosine(spark, sf_dir, k: int = 10):
     )
 
 
+def q_embed_cosine_topk(spark, sf_dir, k: int = 10):
+    """Self-produced embeddings end-to-end (reference Doc2Vec loop,
+    Doc2Vec.py:41-49 + Doc2VecMostSimilar.py:22-33, rebuilt as the
+    deterministic hashing-trick projection): embed every document,
+    query = the smallest doc_id's vector, exact cosine top-k."""
+    from .operators.embed import embed_documents
+
+    emb = embed_documents(_docs(spark, sf_dir), dim=64)
+    qrow = emb.orderBy("doc_id").limit(1).collect()[0]
+    qvec = [float(x) for x in qrow.embedding]
+    pool = emb.filter(F.col("doc_id") != int(qrow.doc_id))
+    return sim.cosine_topk(
+        pool, qvec, k, vec_col="embedding", id_col="doc_id"
+    ).withColumnsRenamed({"vec_id": "doc_id", "cosine": "cosine_r"})
+
+
 def q_events_window(spark, sf_dir):
     """Event-time tumbling-window aggregation (the Structured-Streaming
     agg shape, run in batch: identical plan under readStream)."""
@@ -481,6 +497,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "ann_cosine_topk": q_ann_cosine,
+    "embed_cosine_topk": q_embed_cosine_topk,
     "events_window": q_events_window,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -622,6 +639,32 @@ ORACLES = {
                  AS cosine_r
         FROM embeddings WHERE vec_id <> 0
         ORDER BY cosine_r DESC, vec_id LIMIT 10
+    """,
+    # hashed-projection embedding + cosine computed SPARSELY (join on
+    # shared buckets == dense dot product; absent buckets contribute 0)
+    "embed_cosine_topk": f"""
+        WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+              FROM toks),
+        comp AS (SELECT doc_id, hv % 64 AS bucket,
+                        CASE WHEN hv % 128 < 64 THEN 1.0 ELSE -1.0 END AS sgn
+                 FROM h),
+        vec AS (SELECT doc_id, bucket, sum(sgn) AS v FROM comp GROUP BY 1, 2),
+        nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM vec
+                GROUP BY 1 HAVING sum(v * v) > 0),
+        q AS (SELECT min(doc_id) AS qid FROM nrm),
+        qv AS (SELECT bucket, v FROM vec WHERE doc_id = (SELECT qid FROM q)),
+        qn AS (SELECT n FROM nrm WHERE doc_id = (SELECT qid FROM q)),
+        dot AS (SELECT a.doc_id, sum(a.v * qv.v) AS d
+                FROM vec a JOIN qv USING (bucket)
+                GROUP BY 1)
+        SELECT nrm.doc_id,
+               round(coalesce(dot.d, 0) / (nrm.n * (SELECT n FROM qn)), 6)
+                 AS cosine_r
+        FROM nrm LEFT JOIN dot USING (doc_id)
+        WHERE nrm.doc_id <> (SELECT qid FROM q)
+        ORDER BY cosine_r DESC, doc_id LIMIT 10
     """,
     "events_window": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,

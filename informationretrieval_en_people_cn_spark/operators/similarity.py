@@ -97,14 +97,20 @@ def lsh_bucket_topk(
     table partitioned by bucket and this query prunes to a handful of
     files before any compute (partition pruning does the work).
     """
+    from itertools import combinations
+
     planes = hyperplanes(len(query), bits, seed)
     qsig = 0
     for i, h in enumerate(planes):
         if float(np.dot(query, h)) > 0:
             qsig |= 1 << i
     probe = {qsig}
-    if multiprobe_hamming >= 1:
-        probe |= {qsig ^ (1 << i) for i in range(bits)}
+    for r in range(1, multiprobe_hamming + 1):
+        for flip in combinations(range(bits), r):
+            sig = qsig
+            for i in flip:
+                sig ^= 1 << i
+            probe.add(sig)
     bucketed = df.withColumn("bucket", lsh_signature_expr(F.col(vec_col), planes))
     cand = bucketed.filter(F.col("bucket").isin(list(probe)))
     return cosine_topk(cand, query, k, vec_col=vec_col, id_col=id_col)
@@ -203,6 +209,74 @@ def ivf_assign(
             yield pdf
 
     return df.mapInPandas(gen, schema)
+
+
+def lsh_multitable_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k with L independent LSH tables (union of candidates).
+
+    The production LSH design: a single table's recall/scan trade-off
+    is poor (one unlucky hyperplane near the query loses the whole
+    cluster); with L tables a near neighbor only needs to collide in
+    ONE of them — recall 1-(1-p^bits)^L.  At scale each table is a
+    partition-key column (probe = L partition lookups); here the union
+    is one OR filter, still a single pruned scan, zero Python.
+    """
+    matches = None
+    bucketed = df
+    for t in range(tables):
+        planes = hyperplanes(len(query), bits, seed + 1000 * t)
+        qsig = 0
+        for i, h in enumerate(planes):
+            if float(np.dot(query, h)) > 0:
+                qsig |= 1 << i
+        col = f"_lsh_t{t}"
+        bucketed = bucketed.withColumn(
+            col, lsh_signature_expr(F.col(vec_col), planes)
+        )
+        cond = F.col(col) == qsig
+        matches = cond if matches is None else (matches | cond)
+    cand = bucketed.filter(matches)
+    return cosine_topk(cand, query, k, vec_col=vec_col, id_col=id_col)
+
+
+def synth_clustered_embeddings(
+    spark,
+    n: int = 2000,
+    dim: int = 32,
+    n_clusters: int = 20,
+    spread: float = 0.08,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Gaussian-cluster embedding fixture.
+
+    The driver's ``embeddings.parquet`` is uniform random, where ANY
+    sublinear-scan method's recall is capped at ~the scan fraction —
+    real embeddings cluster, so recall there is uninformative.  This
+    fixture has the geometry ANN methods exploit: ``n_clusters``
+    well-separated unit-ish centers with ``spread``-scaled noise.
+    Columns: (vec_id, label, embedding array<float>).
+    """
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, n_clusters, size=n)
+    pts = centers[labels] + spread * rng.standard_normal((n, dim))
+    rows = [
+        (int(i), int(labels[i]), [float(x) for x in pts[i]]) for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
 
 
 def ivf_topk(

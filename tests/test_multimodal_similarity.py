@@ -57,3 +57,103 @@ def test_cosine_topk_matches_numpy(spark):
     assert [g[0] for g in got] == [w[0] for w in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gs == pytest.approx(ws, abs=1e-6)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    from informationretrieval_en_people_cn_spark.operators import similarity as sim
+
+    emb = sim.synth_clustered_embeddings(
+        spark, n=2000, dim=32, n_clusters=20
+    ).cache()
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    pool = emb.filter("vec_id <> 0").cache()
+    return pool, qvec, pool.count()
+
+
+def test_ann_lsh_multitable_recall_on_clustered(spark, clustered):
+    """ANN quality on clustered geometry (round-1 advice: the uniform
+    fixture caps recall at the scan fraction, proving only plumbing):
+    recall@10 >= 0.9 while scanning <= 20% of the data."""
+    from pyspark.sql import functions as F
+
+    from informationretrieval_en_people_cn_spark.operators import similarity as sim
+
+    pool, qvec, n = clustered
+    exact = {r.vec_id for r in sim.cosine_topk(pool, qvec, 10, id_col="vec_id").collect()}
+    bits, tables = 6, 12
+    got = {
+        r.vec_id
+        for r in sim.lsh_multitable_topk(
+            pool, qvec, 10, bits=bits, tables=tables
+        ).collect()
+    }
+    # measured scan fraction = candidates / pool
+    bucketed, matches = pool, None
+    for t in range(tables):
+        planes = sim.hyperplanes(32, bits, 42 + 1000 * t)
+        qsig = 0
+        for i, h in enumerate(planes):
+            if float(np.dot(qvec, h)) > 0:
+                qsig |= 1 << i
+        col = f"_t{t}"
+        bucketed = bucketed.withColumn(
+            col, sim.lsh_signature_expr(F.col("embedding"), planes)
+        )
+        c = F.col(col) == qsig
+        matches = c if matches is None else (matches | c)
+    scan = bucketed.filter(matches).count() / n
+    assert len(got & exact) / 10 >= 0.9, (got, exact)
+    assert scan <= 0.2, scan
+
+
+def test_ann_ivf_recall_on_clustered(spark, clustered):
+    from pyspark.sql import functions as F
+
+    from informationretrieval_en_people_cn_spark.operators import similarity as sim
+
+    pool, qvec, n = clustered
+    exact = {r.vec_id for r in sim.cosine_topk(pool, qvec, 10, id_col="vec_id").collect()}
+    cents = sim.train_centroids(pool, ncells=16, iters=3)
+    assigned = sim.ivf_assign(pool, cents).cache()
+    d = ((cents - np.asarray(qvec)[None, :]) ** 2).sum(axis=1)
+    cells = [int(c) for c in np.argsort(d)[:2]]
+    scan = assigned.filter(F.col("cell").isin(cells)).count() / n
+    got = {
+        r.vec_id
+        for r in sim.ivf_topk(assigned, cents, qvec, 10, nprobe=2).collect()
+    }
+    assert len(got & exact) / 10 >= 0.9, (got, exact)
+    assert scan <= 0.2, scan
+
+
+def test_embed_documents_deterministic_and_feeds_ann(spark):
+    """Self-produced embeddings: stable across runs, cosine self-sim = 1
+    for a duplicated document, and the ANN stack consumes them as-is."""
+    from informationretrieval_en_people_cn_spark.operators import similarity as sim
+    from informationretrieval_en_people_cn_spark.operators.embed import (
+        embed_documents,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "def merge sort values in the buffer"),
+            (2, "def merge sort values in the buffer"),  # exact dup of 1
+            (3, "class TokenStream compression codec postings"),
+            (4, "x"),  # single 1-char token -> zero indexed tokens -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: list(r.embedding) for r in embed_documents(df, dim=32).collect()}
+    b = {r.doc_id: list(r.embedding) for r in embed_documents(df, dim=32).collect()}
+    assert a == b
+    assert set(a) == {1, 2, 3}
+    assert a[1] == a[2]
+    got = sim.cosine_topk(
+        embed_documents(df, dim=32).filter("doc_id <> 1"),
+        a[1],
+        2,
+        vec_col="embedding",
+        id_col="doc_id",
+    ).collect()
+    assert got[0].vec_id == 2 and got[0].cosine == pytest.approx(1.0)

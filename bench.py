@@ -62,7 +62,10 @@ def main() -> None:
     build_index(spark, corpus, out, slices=4, salt=4, store_positions=False)
     build_sec = time.time() - t0
 
-    engine = SearchEngine(spark, out, cache_term_stats=True)
+    # cached term stats + doclens enable the driver-side fast path for
+    # budget-fitting queries (identical results; the distributed plan is
+    # the fallback and stays the scale path — tested equal per shape)
+    engine = SearchEngine(spark, out, cache_term_stats=True, cache_doclens=True)
     timings: dict[str, float] = {}
     for name, q in QUERY_SET.items():
         runs = []

@@ -77,6 +77,11 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+class _FastFallback(Exception):
+    """Raised when a query exceeds the fast path's Σdf budget — the
+    caller falls back to the distributed plan."""
+
+
 class SearchEngine:
     """Loads an index built by operators.build.build_index and serves
     the reference query language (14 shapes, SURVEY.md §5)."""
@@ -93,6 +98,9 @@ class SearchEngine:
         stop_cf_fraction: float | None = None,
         corpus: DataFrame | None = None,
         cache_term_stats: bool = False,
+        cache_doclens: bool = False,
+        fast_path: bool | None = None,
+        fast_max_postings: int = 5_000_000,
     ):
         self.spark = spark
         self.use_stemmer = use_stemmer
@@ -126,6 +134,25 @@ class SearchEngine:
                 .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
                 .collect()
             }
+        # optional driver-side doclen arrays (sorted ids + lengths):
+        # with term_stats this enables the zero-planning-job fast path.
+        # Same memory guard as term_stats — opt in while n_docs fits.
+        self._doclen_ids: np.ndarray | None = None
+        self._doclen_vals: np.ndarray | None = None
+        if cache_doclens:
+            rows = self.docs.select("doc_id", "doclen").collect()
+            ids = np.array([r.doc_id for r in rows], dtype=np.int64)
+            vals = np.array([r.doclen for r in rows], dtype=np.int64)
+            order = np.argsort(ids)
+            self._doclen_ids, self._doclen_vals = ids[order], vals[order]
+        # fast path: evaluate small queries driver-side over the decoded
+        # (pruned) postings — the reference's own execution model, kept
+        # behind a Σdf budget; the distributed plan is always the
+        # fallback and the default when the caches are absent.
+        self.fast_max_postings = fast_max_postings
+        if fast_path is None:
+            fast_path = self.term_stats is not None and self._doclen_ids is not None
+        self.fast_path = fast_path
 
     # ---- analysis (MUST mirror the build path) -------------------------
     def _q(self, text: str) -> list[str]:
@@ -469,11 +496,207 @@ class SearchEngine:
             k1=self.k1, b=self.b,
         )
 
+    # ---- driver-side fast path (low-latency small queries) ---------------
+    # The distributed plan costs 3-5 Spark stages (~0.6-1 s of scheduling
+    # at any size); for queries whose pruned postings fit a Σdf budget,
+    # the reference's own execution model — decode on the driver, numpy
+    # set algebra / exhaustive BM25 — answers in ONE pruned-scan job
+    # (plus one verify job for phrase leaves).  Results are identical to
+    # the distributed plan (tested per shape); the budget guard falls
+    # back to the distributed plan, which remains the scale path.
+
+    def _postings_arrays(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        uniq = sorted(set(terms))
+        if not uniq:
+            return {}
+        if (
+            sum(self.term_stats.get(t, (0, 0))[0] for t in uniq)
+            > self.fast_max_postings
+        ):
+            raise _FastFallback
+        rows = self._index_rows(uniq).select("term", "postings").collect()
+        postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for r in rows:  # concat the term's doc-range-disjoint shards
+            d, t, _ = decode_frames(bytes(r.postings))
+            if r.term in postings:
+                d0, t0 = postings[r.term]
+                d, t = np.concatenate([d0, d]), np.concatenate([t0, t])
+            postings[r.term] = (d, t)
+        for term, (d, t) in postings.items():
+            order = np.argsort(d, kind="stable")
+            postings[term] = (d[order].astype(np.int64), t[order].astype(np.int64))
+        return postings
+
+    def _doclen_of(self, docs: np.ndarray) -> np.ndarray:
+        if self._doclen_ids is None or len(self._doclen_ids) == 0:
+            return np.zeros(len(docs), dtype=np.int64)
+        pos = np.searchsorted(self._doclen_ids, docs)
+        pos = np.clip(pos, 0, len(self._doclen_ids) - 1)
+        vals = self._doclen_vals[pos]
+        return np.where(self._doclen_ids[pos] == docs, vals, 0)
+
+    def _leaf_ids_fast(self, leaf: qt.Leaf) -> np.ndarray:
+        empty = np.empty(0, dtype=np.int64)
+        if leaf.kind == "keyword":
+            p = self._postings_arrays(self._q(leaf.value))
+            if not p:
+                return empty
+            return np.unique(np.concatenate([d for d, _ in p.values()]))
+        if leaf.kind == "prefix":
+            p = self._postings_arrays(self.expand_prefix(leaf.value))
+            if not p:
+                return empty
+            return np.unique(np.concatenate([d for d, _ in p.values()]))
+        if leaf.kind == "phrase":
+            return self._phrase_ids_fast(leaf.value)
+        if leaf.kind == "phrase_prefix":
+            return self._phrase_ids_fast(leaf.value, leaf.suffix)
+        if leaf.kind == "reply_to":
+            rows = self.reply_to_docids(leaf.value).collect()
+            return np.array(sorted(r.doc_id for r in rows), dtype=np.int64)
+        raise ValueError(leaf.kind)
+
+    def _phrase_ids_fast(self, phrase: str, suffix: str = "") -> np.ndarray:
+        empty = np.empty(0, dtype=np.int64)
+        terms = self._q(phrase)
+        needle = f"{phrase} {suffix}".strip().lower()
+        if not terms:
+            if not suffix:
+                return empty
+            return self._leaf_ids_fast(qt.Leaf("prefix", suffix))
+        if any(t not in self.term_stats for t in set(terms)):
+            return empty
+        rare = sorted(set(terms), key=lambda t: self.term_stats[t][0])[:2]
+        p = self._postings_arrays(rare)
+        cand: np.ndarray | None = None
+        for t in rare:
+            d = p[t][0] if t in p else empty
+            cand = d if cand is None else np.intersect1d(cand, d)
+        if cand is None or cand.size == 0:
+            return empty
+        if self.content_df is None:
+            raise ValueError(
+                "phrase verification needs a document store: docs table "
+                "has no content column and no corpus was provided"
+            )
+        if cand.size <= 1000:
+            # IN-list predicate pushes down to the doc_id-sorted parquet
+            # (row-group pruning) — one scan job, no join
+            store = self.content_df.filter(
+                F.col("doc_id").isin([int(x) for x in cand])
+            )
+        else:
+            cdf = self.spark.createDataFrame(
+                [(int(x),) for x in cand], "doc_id long"
+            )
+            store = self.content_df.join(F.broadcast(cdf), "doc_id")
+        rows = (
+            store.filter(F.contains(F.lower("content"), F.lit(needle)))
+            .select("doc_id")
+            .collect()
+        )
+        return np.array(sorted(r.doc_id for r in rows), dtype=np.int64)
+
+    def _boolean_fast(self, node: qt.OrNode) -> np.ndarray:
+        # ONE postings collect for every keyword/prefix leaf in the whole
+        # tree (a per-leaf collect would cost one Spark job each)
+        leaf_terms: dict[int, list[str]] = {}
+        all_terms: list[str] = []
+        for and_node in node.children:
+            for c in and_node.children:
+                if c.kind == "keyword":
+                    leaf_terms[id(c)] = self._q(c.value)
+                elif c.kind == "prefix":
+                    leaf_terms[id(c)] = self.expand_prefix(c.value)
+                all_terms.extend(leaf_terms.get(id(c), []))
+        shared = self._postings_arrays(all_terms)
+
+        def ids_of(c: qt.Leaf) -> np.ndarray:
+            if id(c) in leaf_terms:
+                ds = [shared[t][0] for t in leaf_terms[id(c)] if t in shared]
+                if not ds:
+                    return np.empty(0, dtype=np.int64)
+                return np.unique(np.concatenate(ds))
+            return self._leaf_ids_fast(c)
+
+        res: np.ndarray | None = None
+        for and_node in node.children:
+            pos = [c for c in and_node.children if not c.negated]
+            neg = [c for c in and_node.children if c.negated]
+            acc = ids_of(pos[0])
+            for c in pos[1:]:
+                acc = np.intersect1d(acc, ids_of(c))
+            for c in neg:
+                acc = np.setdiff1d(acc, ids_of(c))
+            res = acc if res is None else np.union1d(res, acc)
+        return res
+
+    def _ranked_fast(self, node: qt.RankedNode, raw_query: str, k: int):
+        terms = self._query_terms(raw_query)
+        postings = self._postings_arrays(terms)
+        # exhaustive scoring, accumulated in sorted-term order — the same
+        # canonical summation order as the distributed plan's
+        # aggregate(array_sort(collect_list(...)))
+        all_docs = (
+            np.unique(np.concatenate([d for d, _ in postings.values()]))
+            if postings
+            else np.empty(0, dtype=np.int64)
+        )
+        scores = np.zeros(len(all_docs))
+        k1, b = self.k1, self.b
+        for t in sorted(postings):
+            d, tfs = postings[t]
+            idf = bm25_idf(self.n_docs, self.term_stats.get(t, (len(d), 0))[0])
+            dl = self._doclen_of(d).astype(np.float64)
+            tf = tfs.astype(np.float64)
+            s = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / self.avgdl))
+            np.add.at(scores, np.searchsorted(all_docs, d), s)
+        if any(leaf.kind != "keyword" for leaf in node.children):
+            cand: np.ndarray | None = None
+            for leaf in node.children:
+                d = self._leaf_ids_fast(leaf)
+                cand = d if cand is None else np.union1d(cand, d)
+            pos = np.searchsorted(all_docs, cand) if len(all_docs) else None
+            out = []
+            for i, doc in enumerate(cand):
+                if (
+                    pos is not None
+                    and pos[i] < len(all_docs)
+                    and all_docs[pos[i]] == doc
+                ):
+                    out.append((int(doc), float(scores[pos[i]])))
+                else:
+                    out.append((int(doc), 0.0))
+        else:
+            out = [(int(d), float(s)) for d, s in zip(all_docs, scores)]
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+    def _search_fast(self, node, query: str, k: int) -> DataFrame | None:
+        try:
+            if isinstance(node, qt.OrNode):
+                ids = self._boolean_fast(node)
+                return self.spark.createDataFrame(
+                    [(int(x),) for x in ids], "doc_id long"
+                )
+            rows = self._ranked_fast(node, query, k)
+            return self.spark.createDataFrame(
+                rows, "doc_id long, score double"
+            )
+        except _FastFallback:
+            return None
+
     # ---- entry point -----------------------------------------------------
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Boolean queries → unranked doc_id set; else BM25 top-k
-        (reference dispatch SearchEngine.py:251-292)."""
+        (reference dispatch SearchEngine.py:251-292).  Routes through
+        the driver-side fast path when its caches are loaded and the
+        query fits the Σdf budget; identical results either way."""
         node = qt.parse(query)
+        if self.fast_path:
+            res = self._search_fast(node, query, k)
+            if res is not None:
+                return res
         if isinstance(node, qt.OrNode):
             return self.boolean_docids(node).orderBy("doc_id")
         return self.ranked(node, query, k)

@@ -228,3 +228,51 @@ def test_hash_sized_doc_ids_bucket_agreement(spark):
     for i in ids:
         assert 0 <= got[i] < buckets, i
         assert got[i] == want[i], i
+
+
+FOURTEEN_SHAPES = [
+    "merge",
+    "merge window",
+    "return value index",
+    "'posting merge'",
+    "merge AND window",
+    "return AND value AND index AND merge",
+    "merge NOT window",
+    "merge OR 'posting merge'",
+    "compr*",
+    "'posting mer'*",
+    "merge AND compr*",
+    "window OR buffer OR shuffle",
+    "return NOT value NOT index",
+    "merged merging merges",
+]
+
+
+def test_fast_path_equals_distributed_all_shapes(spark, index_dir, engine):
+    """The driver-side fast path (cached stats + doclens) must return
+    identical results to the distributed plan for every query shape."""
+    from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
+
+    fast = SearchEngine(spark, index_dir, cache_term_stats=True, cache_doclens=True)
+    assert fast.fast_path
+    for q in FOURTEEN_SHAPES:
+        got = fast.search(q, k=10).collect()
+        want = engine.search(q, k=10).collect()
+        if got and "score" in got[0].asDict():
+            assert [r.doc_id for r in got] == [r.doc_id for r in want], q
+            for g, w in zip(got, want):
+                assert g.score == pytest.approx(w.score, rel=1e-12), q
+        else:
+            assert {r.doc_id for r in got} == {r.doc_id for r in want}, q
+
+
+def test_fast_path_budget_falls_back_to_distributed(spark, index_dir):
+    from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
+
+    fast = SearchEngine(
+        spark, index_dir, cache_term_stats=True, cache_doclens=True,
+        fast_max_postings=1,
+    )
+    tiny = fast.search("merge window", k=10).collect()  # falls back
+    full = SearchEngine(spark, index_dir).search("merge window", k=10).collect()
+    assert [r.doc_id for r in tiny] == [r.doc_id for r in full]

@@ -373,13 +373,20 @@ def q_top_orders_per_cust(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, md5 hash family + literal band keys
+    so the DuckDB oracle replicates both the banding criterion and
+    every signature value exactly."""
     return pl.minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_hashes=64, bands=16, shingle_n=2, threshold=0.3
+        _docs(spark, sf_dir), num_hashes=64, bands=16, shingle_n=2,
+        threshold=0.3, hash_fn="md5", exact_bands=True,
     ).select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard_r"))
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return pl.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+    """SimHash near-dup pairs with the md5 hash family (60-bit) so the
+    DuckDB oracle can replicate signatures bit-for-bit; the pigeonhole
+    candidate generation is complete, so banded == all-pairs."""
+    return pl.simhash_pairs(_docs(spark, sf_dir), max_hamming=8, hash_fn="md5")
 
 
 def q_fingerprints(spark, sf_dir):
@@ -394,7 +401,11 @@ def q_fingerprints(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    sigs = pl.minhash_signatures(_docs(spark, sf_dir), num_hashes=32, shingle_n=2)
+    """MinHash sketches, md5 hash family + exact permutation arithmetic
+    — every signature value is replicated by the DuckDB oracle."""
+    sigs = pl.minhash_signatures(
+        _docs(spark, sf_dir), num_hashes=32, shingle_n=2, hash_fn="md5"
+    )
     return sigs.select(
         "doc_id",
         F.concat_ws(
@@ -740,7 +751,103 @@ ORACLES = {
     "search_engine_topk_unstemmed": (
         f"SELECT * FROM ({_BM25_SQL}) ORDER BY score_r DESC, doc_id LIMIT 10"
     ),
+    # 60-bit md5 simhash: per-bit ±1 majority vote, then all-pairs
+    # hamming (the Spark side's pigeonhole banding is complete, so the
+    # two candidate sets are identical)
+    "simhash_pairs": """
+        WITH toks AS (SELECT doc_id,
+                             unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+                      FROM documents),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+              FROM toks),
+        bits AS (SELECT doc_id, b,
+                        sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM h, (SELECT unnest(range(0, 60)) AS b) bl
+                 GROUP BY 1, 2),
+        sig0 AS (SELECT doc_id,
+                        CAST(sum(CASE WHEN s > 0
+                                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                             AS BIGINT) AS simhash
+                 FROM bits GROUP BY 1),
+        sig AS (SELECT d.doc_id, coalesce(sig0.simhash, 0) AS simhash
+                FROM documents d LEFT JOIN sig0 USING (doc_id))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
 }
+
+# ---- MinHash oracles: replicate the md5-based sketches exactly ----------
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _perm_values_sql(num_hashes: int, seed: int = 42) -> str:
+    """The (i, a_i, b_i) permutation constants as a VALUES list — the
+    same RandomState stream the Spark operator uses."""
+    a, b = pl._perm_params(num_hashes, seed)
+    return ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_hashes)
+    )
+
+
+# 2-gram shingles over the indexed tokens + 60-bit md5 base hash +
+# exact (a*x+b) mod p in HUGEINT; empty-shingle docs get the all-p
+# sentinel signature (mirrors the Spark operator)
+def _minhash_sig_cte(num_hashes: int) -> str:
+    return f"""
+        t AS (SELECT doc_id, {_SQL_TOKS} AS tl FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, sg FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tl)),
+                          i -> tl[i] || ' ' || tl[i + 1])) AS sg
+            FROM t WHERE len(tl) >= 2)),
+        base AS (SELECT doc_id,
+                        CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS x
+                 FROM sh),
+        perm(i, a, b) AS (VALUES {_perm_values_sql(num_hashes)}),
+        sigc AS (SELECT doc_id, i,
+                        min(CAST((CAST(a AS HUGEINT) * x + b) % {_MERSENNE_P}
+                                 AS BIGINT)) AS v
+                 FROM base CROSS JOIN perm GROUP BY 1, 2)
+    """
+
+
+ORACLES["minhash_signatures"] = f"""
+    WITH {_minhash_sig_cte(32)},
+    sig AS (SELECT doc_id,
+                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)
+                     AS signature_csv
+            FROM sigc GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(sig.signature_csv,
+                    '{",".join([str(_MERSENNE_P)] * 32)}') AS signature_csv
+    FROM documents d LEFT JOIN sig USING (doc_id)
+"""
+
+_SENTINEL_64 = "[" + ", ".join([str(_MERSENNE_P)] * 64) + "]"
+
+# candidates = pairs equal on ALL 4 values of >= 1 of the 16 bands
+# (identical criterion to the Spark side's exact_bands buckets), then
+# est = fraction of agreeing signature positions, thresholded at 0.3
+ORACLES["minhash_pairs"] = f"""
+    WITH {_minhash_sig_cte(64)},
+    sig0 AS (SELECT doc_id, list(v ORDER BY i) AS s FROM sigc GROUP BY 1),
+    sig AS (SELECT d.doc_id, coalesce(sig0.s, {_SENTINEL_64}) AS s
+            FROM documents d LEFT JOIN sig0 USING (doc_id)),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(range(1, 65), i -> a.s[i] = b.s[i])) / 64.0
+               AS est
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(range(0, 16),
+                t -> a.s[t*4+1] = b.s[t*4+1] AND a.s[t*4+2] = b.s[t*4+2]
+                 AND a.s[t*4+3] = b.s[t*4+3] AND a.s[t*4+4] = b.s[t*4+4])) > 0)
+    SELECT doc_a, doc_b, round(est, 6) AS est_jaccard_r
+    FROM cand WHERE est >= 0.3
+"""
 
 _PROFILE_VALUES = ", ".join(
     f"('{lang}', '{w}')"

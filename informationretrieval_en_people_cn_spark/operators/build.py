@@ -442,7 +442,10 @@ def build_index(
         t0 = time.time()
         part = corpus
         if not sorted_input:
-            nparts = max(spark.sparkContext.defaultParallelism, buckets)
+            # 4 task waves per core: a single wave is straggler-bound
+            # (one slow task = the whole stage), and range partitioning
+            # keeps each task on ~1 salt bucket (frames stay ~|vocab|)
+            nparts = max(spark.sparkContext.defaultParallelism * 4, buckets)
             part = part.repartitionByRange(nparts, "doc_id")
         runs = partition_runs(
             part,
@@ -548,7 +551,7 @@ def build_index(
         # repeat it — north_rule).
         dl = _doclens_from_runs(all_runs).groupBy("doc_id").agg(
             F.sum("tf").alias("doclen")
-        )
+        ).persist()
         # content kept in the docs table: it is the document store that
         # phrase verification re-reads (reference re-reads comments.csv
         # by offset, SearchEngine.py:131-147). At petabyte scale this
@@ -567,12 +570,15 @@ def build_index(
         ).write.mode("overwrite").parquet(paths.docs)
         _mark("docs write")
 
-        stats_row = spark.read.parquet(paths.docs).agg(
-            F.count("*").alias("n_docs"),
-            F.sum("doclen").alias("collection_term_count"),
-            F.avg("doclen").alias("avg_doclen"),
-        )
-        stats_row.write.mode("overwrite").parquet(paths.stats)
+        # stats from the cached doclen relation + the bounds count — no
+        # docs-table re-read job; zero-term docs contribute doclen 0, so
+        # only n_docs (from bounds) differs from dl's row count
+        dl_tot = dl.agg(F.sum("doclen").alias("s")).collect()[0].s or 0
+        spark.createDataFrame(
+            [(n_docs, int(dl_tot), float(dl_tot) / n_docs)],
+            "n_docs long, collection_term_count long, avg_doclen double",
+        ).write.mode("overwrite").parquet(paths.stats)
+        dl.unpersist()
         _mark("stats write")
         ckpt.commit(
             out_dir,

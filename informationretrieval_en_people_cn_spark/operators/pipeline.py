@@ -167,13 +167,21 @@ def minhash_signatures(
     num_hashes: int = 128,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn: str = "blake2b",
 ) -> DataFrame:
     """(id, signature: array<long>) MinHash sketches, Arrow-batched.
 
     h_i(x) = (a_i * base(x) + b_i) mod (2^61 - 1) over the doc's shingle
     set; the (shingles × k) permutation matrix is one numpy broadcast
-    per doc.  Docs with no shingles get an all-MAX signature (matches
-    nothing).
+    per doc.  Docs with no shingles get an all-MAX signature (= the
+    modulus, so two empty docs estimate as identical — by design).
+
+    ``hash_fn``: ``"blake2b"`` — fast path; base hashes are 64-bit and
+    the a·x+b product deliberately wraps mod 2^64 (numpy uint64) before
+    the Mersenne reduction, a hash-quality no-op.  ``"md5"`` — oracle
+    path: base = first 15 md5 hex digits (60-bit) and the permutation
+    arithmetic is EXACT (python ints), so DuckDB can replicate every
+    signature value with HUGEINT math.
     """
     a, b = _perm_params(num_hashes, seed)
     out_schema = T.StructType(
@@ -186,8 +194,13 @@ def minhash_signatures(
         F.col(id_col).alias("doc_id"),
         shingles_expr(F.col(text_col), shingle_n).alias("shingles"),
     )
+    if hash_fn not in ("blake2b", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    exact = hash_fn == "md5"
 
     def gen(batches):
+        import hashlib
+
         import pandas as pd
 
         for pdf in batches:
@@ -197,18 +210,36 @@ def minhash_signatures(
                 for s in lst:
                     uniq.setdefault(s, 0)
             keys = list(uniq.keys())
-            base = _stable_u64(keys) % _MERSENNE if keys else np.empty(0, np.uint64)
-            lut = dict(zip(keys, base))
+            if exact:
+                lut = {
+                    s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    for s in keys
+                }
+                a_obj = a.astype(object)
+                b_obj = b.astype(object)
+                p = int(_MERSENNE)
+            else:
+                base = (
+                    _stable_u64(keys) % _MERSENNE if keys else np.empty(0, np.uint64)
+                )
+                lut = dict(zip(keys, base))
             sigs = []
             sentinel = np.full(len(a), np.int64((1 << 61) - 1))
             for lst in pdf["shingles"]:
                 if len(lst) == 0:
                     sigs.append(sentinel.tolist())
                     continue
-                xs = np.fromiter((lut[s] for s in lst), dtype=np.uint64, count=len(lst))
-                # (k, n_shingles) matrix mod p, min along shingles
-                m = (np.multiply.outer(a, xs) + b[:, None]) % _MERSENNE
-                sigs.append(m.min(axis=1).astype(np.int64).tolist())
+                if exact:
+                    xs = np.array([lut[s] for s in lst], dtype=object)
+                    m = (np.multiply.outer(a_obj, xs) + b_obj[:, None]) % p
+                    sigs.append([int(v) for v in m.min(axis=1)])
+                else:
+                    xs = np.fromiter(
+                        (lut[s] for s in lst), dtype=np.uint64, count=len(lst)
+                    )
+                    # (k, n_shingles) matrix mod p, min along shingles
+                    m = (np.multiply.outer(a, xs) + b[:, None]) % _MERSENNE
+                    sigs.append(m.min(axis=1).astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
 
     return sh_df.mapInPandas(gen, out_schema)
@@ -225,6 +256,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket: int = 1000,
+    hash_fn: str = "blake2b",
+    exact_bands: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding: (doc_a, doc_b, est_jaccard).
 
@@ -234,20 +267,36 @@ def minhash_lsh_pairs(
     ``max_bucket`` are dropped (boilerplate clusters would be quadratic)
     — at web scale that cap is the difference between a shuffle and an
     outage; drops are observable via the returned plan's metrics.
+
+    ``exact_bands=True`` keys the bucket on the band's literal values
+    (not their xxhash64), removing even the 2^-64 collision false-
+    candidate — used with ``hash_fn="md5"`` so the DuckDB oracle's
+    band-equality criterion is bit-identical.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
-        shingle_n=shingle_n, seed=seed,
+        shingle_n=shingle_n, seed=seed, hash_fn=hash_fn,
     )
+    if exact_bands:
+        bucket_of = lambda i: F.concat_ws(  # noqa: E731
+            ",",
+            F.transform(
+                F.slice("signature", i * r + 1, r), lambda v: v.cast("string")
+            ),
+        )
+    else:
+        bucket_of = lambda i: F.xxhash64(  # noqa: E731
+            F.slice("signature", i * r + 1, r)
+        ).cast("string")
     banded = sigs.select(
         "doc_id",
         "signature",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.xxhash64(F.slice("signature", i * r + 1, r)),
+                bucket_of,
             )
         ).alias("band", "bucket"),
     )
@@ -286,15 +335,34 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, simhash) — Arrow-batched numpy (64 aggregates per row in
     pure Catalyst codegen blows past the 64KB codegen limit, so the bit
-    loop runs vectorized in numpy instead; xxhash64 of tokens is still
-    JVM-side)."""
+    loop runs vectorized in numpy instead; the token hash is still
+    JVM-side).
+
+    ``hash_fn``: ``"xxhash64"`` (fast, 64-bit) or ``"md5"`` (60-bit —
+    the first 15 md5 hex digits, exactly replicable by the DuckDB
+    oracle; used by the driver-checked query surface).
+    """
+    if hash_fn == "md5":
+        n_bits = 60
+        tok_hash = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 15), 16, 10
+        ).cast("long")
+    elif hash_fn == "xxhash64":
+        n_bits = 64
+        tok_hash = lambda t: F.xxhash64(t)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     toks_hashed = df.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t)).alias("hashes"),
+        F.transform(tokens_expr(text_col), tok_hash).alias("hashes"),
     )
     schema = T.StructType(
         [
@@ -306,7 +374,7 @@ def simhash_signatures(
     def gen(batches):
         import pandas as pd
 
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = np.arange(n_bits, dtype=np.uint64)
         for pdf in batches:
             out = []
             for hs in pdf["hashes"]:
@@ -314,7 +382,7 @@ def simhash_signatures(
                     out.append(0)
                     continue
                 h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                # (n_tokens, 64) bit matrix -> column sums of ±1
+                # (n_tokens, n_bits) bit matrix -> column sums of ±1
                 bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
                 s = (2 * bits - 1).sum(axis=0)
                 out.append(int(((s > 0).astype(np.uint64) << shifts).sum().astype(np.int64)))
@@ -329,17 +397,20 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: split the 64-bit hash into ``max_hamming + 1``
-    chunks — any pair within the radius agrees exactly on >= 1 chunk, so
-    the join key is (chunk_id, chunk_value): linear candidate
-    generation, no quadratic pass (standard SimHash dedup layout).
+    Pigeonhole banding: split the hash into ``max_hamming + 1`` disjoint
+    chunks — with <= max_hamming differing bits, at least one chunk is
+    diff-free (pigeonhole; completeness does not need the chunks to
+    cover every bit), so the join key is (chunk_id, chunk_value):
+    linear candidate generation, no quadratic pass (standard SimHash
+    dedup layout), then the exact hamming filter.
     """
     nchunks = max_hamming + 1
-    width = 64 // nchunks
-    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    width = (60 if hash_fn == "md5" else 64) // nchunks
+    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col, hash_fn=hash_fn)
     chunk_exprs = [
         F.shiftrightunsigned("simhash", i * width).bitwiseAND(
             F.lit((1 << width) - 1).cast("long")

@@ -58,9 +58,21 @@ def main() -> None:
     corpus = documents_as_corpus(spark, SF_DIR)
     n_docs = corpus.count()
     out = tempfile.mkdtemp(prefix="ir_bench_")
+    # per-stage build timings (the reference's Report.py analogue)
+    stage_log = os.path.join(out, "stages.log")
+    os.environ["IR_BUILD_DEBUG"] = stage_log
     t0 = time.time()
     build_index(spark, corpus, out, slices=4, salt=4, store_positions=False)
     build_sec = time.time() - t0
+    os.environ.pop("IR_BUILD_DEBUG", None)
+    stages = {}
+    if os.path.exists(stage_log):
+        for line in open(stage_log):
+            # "[build] <label>: <sec>s"
+            body = line.strip().removeprefix("[build] ")
+            label, _, val = body.rpartition(": ")
+            if label and val.endswith("s"):
+                stages[label] = float(val[:-1])
 
     # cached term stats + doclens enable the driver-side fast path for
     # budget-fitting queries (identical results; the distributed plan is
@@ -155,6 +167,7 @@ def main() -> None:
                     "docs": n_docs,
                     "docs_per_sec": round(n_docs / build_sec, 1),
                     "cpus": CPUS,
+                    "stages": stages,
                 },
                 "extras": extras,
             }

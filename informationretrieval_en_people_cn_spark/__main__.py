@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
             "--edges",
             help="parquet of (src_doc_id, dst_doc_id) for ReplyTo queries",
         )
+        sp.add_argument(
+            "--fast",
+            action="store_true",
+            help="low-latency driver-side path (caches term stats + "
+            "doclens; falls back to the distributed plan over budget)",
+        )
 
     args = p.parse_args(argv)
 
@@ -76,7 +82,13 @@ def main(argv: list[str] | None = None) -> int:
             from .plans.engine import SearchEngine
 
             edges = spark.read.parquet(args.edges) if args.edges else None
-            eng = SearchEngine(spark, args.index, edges=edges)
+            eng = SearchEngine(
+                spark,
+                args.index,
+                edges=edges,
+                cache_term_stats=args.fast,
+                cache_doclens=args.fast,
+            )
             queries = (
                 [args.query]
                 if args.cmd == "search"

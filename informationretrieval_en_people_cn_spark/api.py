@@ -229,21 +229,64 @@ def q_phrase(spark, sf_dir):
     )
 
 
+# one shared unstemmed index per sf_dir: four driver queries exercise
+# the full engine path (results are slice/salt-invariant — tested), so
+# they share a single build instead of four
+_UNSTEMMED_INDEX: dict[str, str] = {}
+
+
+def _unstemmed_index(spark, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from .operators.build import build_index
+    from .sources.corpus import documents_as_corpus
+
+    out = _UNSTEMMED_INDEX.get(sf_dir)
+    if out is None or not os.path.exists(f"{out}/index"):
+        out = tempfile.mkdtemp(prefix="irun_")
+        build_index(
+            spark, documents_as_corpus(spark, sf_dir), out,
+            slices=2, salt=2, use_stemmer=False,
+        )
+        _UNSTEMMED_INDEX[sf_dir] = out
+    return out
+
+
 def q_phrase_positional(spark, sf_dir):
     """TRUE positional phrase match through the full engine path
     (index build with positions -> decode -> per-doc adjacency check).
     Unstemmed so DuckDB can replicate the token-sequence semantics."""
-    import tempfile
-
-    from .operators.build import build_index
     from .plans.engine import SearchEngine
-    from .sources.corpus import documents_as_corpus
 
-    corpus = documents_as_corpus(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="irpos_")
-    build_index(spark, corpus, out, slices=1, salt=4, use_stemmer=False)
-    eng = SearchEngine(spark, out, use_stemmer=False)
+    eng = SearchEngine(spark, _unstemmed_index(spark, sf_dir), use_stemmer=False)
     return eng.phrase_docids_positional(PHRASE)
+
+
+def q_phrase_prefix_search(spark, sf_dir):
+    """Q4 phrase-prefix leaf ('value ta'*) through the engine: rarest-
+    term candidates + literal substring 'value ta' verify (reference
+    SearchEngine.py:169-172,202 semantics), unstemmed for the oracle."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(spark, _unstemmed_index(spark, sf_dir), use_stemmer=False)
+    return eng.phrase_docids("value", suffix="ta")
+
+
+def q_stopterm_ranked(spark, sf_dir):
+    """Q8 stop-term skip through the ranked path: with
+    stop_cf_fraction=0.02 the Zipf-head terms (merge/window, cf ~3.4%
+    of the collection) are dropped and only 'dup' (cf ~0.1%) scores —
+    the reference's hot-term skip (SearchEngine.py:88-91) redefined on
+    true collection frequency (SURVEY §4.4)."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(
+        spark, _unstemmed_index(spark, sf_dir),
+        use_stemmer=False, stop_cf_fraction=0.02,
+    )
+    res = eng.search("merge dup window", k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score_r"))
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -255,6 +298,18 @@ def q_dedup_clusters(spark, sf_dir):
         _docs(spark, sf_dir), n=2, threshold=0.35, max_shingle_df=None
     )
     return pl.dedup_clusters(pairs)
+
+
+def q_collection_stats(spark, sf_dir):
+    """A4/S9: the index's stats table (n_docs, collection term count,
+    avgdl) — the BM25 scorer's global constants, derived from committed
+    runs, checked against recomputation from the raw documents."""
+    st = spark.read.parquet(f"{_unstemmed_index(spark, sf_dir)}/stats")
+    return st.select(
+        "n_docs",
+        "collection_term_count",
+        F.round("avg_doclen", 6).alias("avg_doclen_r"),
+    )
 
 
 def q_id_lookup(spark, sf_dir):
@@ -470,16 +525,9 @@ def q_search_engine_topk_unstemmed(spark, sf_dir):
     score -> top-k, stemming off so DuckDB can replicate the analyzer
     exactly (same trick as phrase_positional).  Every byte of the
     result has passed through the codec and the merged index."""
-    import tempfile
-
-    from .operators.build import build_index
     from .plans.engine import SearchEngine
-    from .sources.corpus import documents_as_corpus
 
-    corpus = documents_as_corpus(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="irxu_")
-    build_index(spark, corpus, out, slices=2, salt=2, use_stemmer=False)
-    eng = SearchEngine(spark, out, use_stemmer=False)
+    eng = SearchEngine(spark, _unstemmed_index(spark, sf_dir), use_stemmer=False)
     res = eng.search("merge window spark", k=10)
     return res.select("doc_id", F.round("score", 6).alias("score_r"))
 
@@ -499,6 +547,9 @@ QUERIES = {
     "prefix_search": q_prefix_search,
     "phrase": q_phrase,
     "phrase_positional": q_phrase_positional,
+    "phrase_prefix_search": q_phrase_prefix_search,
+    "stopterm_ranked": q_stopterm_ranked,
+    "collection_stats": q_collection_stats,
     "id_lookup": q_id_lookup,
     "normalize_text": q_normalize,
     "ingest_sha256": q_ingest_sha256,
@@ -578,6 +629,43 @@ ORACLES = {
         SELECT doc_id FROM t
         WHERE len(list_filter(range(1, len(tl)),
                   i -> tl[i] = 'value' AND tl[i + 1] = 'table')) > 0
+    """,
+    # Q4: candidates hold the phrase token(s), verified by the literal
+    # substring "phrase suffix" (reference semantics — NOT token-prefix)
+    "phrase_prefix_search": f"""
+        SELECT doc_id FROM documents
+        WHERE list_contains({_SQL_TOKS}, 'value')
+          AND contains(lower(text), 'value ta')
+    """,
+    # Q8: drop query terms whose collection frequency exceeds
+    # stop_cf_fraction * collection_term_count (engine rule: cf <= thr
+    # kept; absent terms have cf 0), then BM25 over the survivors
+    "stopterm_ranked": f"""
+        WITH {_SQL_TF},
+        tot AS (SELECT sum(doclen) AS t FROM dl),
+        qt(term) AS (VALUES ('merge'), ('dup'), ('window')),
+        cfs AS (SELECT qt.term, coalesce(sum(tf.tf), 0) AS cf
+                FROM qt LEFT JOIN tf ON tf.term = qt.term GROUP BY 1),
+        kept AS (SELECT term FROM cfs
+                 WHERE cf <= 0.02 * (SELECT t FROM tot)),
+        scored AS (
+          SELECT tf.doc_id,
+                 ln(1.0 + ((SELECT n FROM stats) - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5))
+                   * (tf.tf * ({_K1} + 1))
+                   / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.doclen
+                                       / (SELECT avgdl FROM stats))) AS s
+          FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+          WHERE tf.term IN (SELECT term FROM kept))
+        SELECT doc_id, round(sum(s), 6) AS score_r FROM scored
+        GROUP BY doc_id ORDER BY score_r DESC, doc_id LIMIT 10
+    """,
+    "collection_stats": f"""
+        WITH dl AS (SELECT len({_SQL_TOKS}) AS doclen FROM documents)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doclen) AS BIGINT) AS collection_term_count,
+               round(avg(doclen), 6) AS avg_doclen_r
+        FROM dl
     """,
     "id_lookup": "SELECT o_orderkey FROM orders WHERE o_custkey = 7",
     "normalize_text": """

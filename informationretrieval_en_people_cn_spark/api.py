@@ -470,9 +470,13 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir, k: int = 10):
+    """LSH-bucket ANN (6 random hyperplanes, multiprobe hamming<=1):
+    the bucket assignment and probe criterion are replicated exactly by
+    the DuckDB oracle (plane constants inlined as exact float64)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
-    return sim.lsh_bucket_topk(emb.filter("vec_id <> 0"), qvec, k, bits=6)
+    out = sim.lsh_bucket_topk(emb.filter("vec_id <> 0"), qvec, k, bits=6)
+    return out.withColumnRenamed("cosine", "cosine_r")
 
 
 def q_ann_ivf(spark, sf_dir, k: int = 10):
@@ -935,6 +939,41 @@ ORACLES["minhash_pairs"] = f"""
                  AND a.s[t*4+3] = b.s[t*4+3] AND a.s[t*4+4] = b.s[t*4+4])) > 0)
     SELECT doc_a, doc_b, round(est, 6) AS est_jaccard_r
     FROM cand WHERE est >= 0.3
+"""
+
+# ---- LSH oracle: replicate bucket assignment + multiprobe exactly -------
+def _lsh_planes_sql(dim: int = 64, bits: int = 6, seed: int = 42) -> str:
+    """The random hyperplanes as exact-float64 VALUES rows (repr() is
+    round-trip exact, so DuckDB sees bit-identical constants)."""
+    planes = sim.hyperplanes(dim, bits, seed)
+    return ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in h)}])"
+        for i, h in enumerate(planes)
+    )
+
+
+# bucket = packed signs of plane dots (sequential fold, same order as
+# the Spark expression); probe = hamming<=1 from the query's bucket —
+# identical to the {qsig} ∪ {qsig^(1<<i)} multiprobe set
+ORACLES["ann_lsh_topk"] = f"""
+    WITH planes(i, w) AS (VALUES {_lsh_planes_sql()}),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id,
+              CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                          j -> v[j] * w[j])) > 0
+                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                   AS BIGINT) AS bucket
+            FROM vecs CROSS JOIN planes GROUP BY vec_id),
+    q AS (SELECT bucket AS qb FROM sig WHERE vec_id = 0),
+    cand AS (SELECT vec_id FROM sig
+             WHERE vec_id <> 0
+               AND bit_count(xor(bucket, (SELECT qb FROM q))) <= 1)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings
+                  WHERE vec_id = 0)), 6) AS cosine_r
+    FROM embeddings e JOIN cand USING (vec_id)
+    ORDER BY cosine_r DESC, vec_id LIMIT 10
 """
 
 _PROFILE_VALUES = ", ".join(

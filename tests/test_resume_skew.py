@@ -276,3 +276,22 @@ def test_fast_path_budget_falls_back_to_distributed(spark, index_dir):
     tiny = fast.search("merge window", k=10).collect()  # falls back
     full = SearchEngine(spark, index_dir).search("merge window", k=10).collect()
     assert [r.doc_id for r in tiny] == [r.doc_id for r in full]
+
+
+def test_fast_path_stopterm_parity(spark, index_dir):
+    """Q8 stop-term skip must behave identically on the fast path
+    (cached cf stats) and the distributed plan (stats via Spark jobs)."""
+    from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
+
+    slow = SearchEngine(spark, index_dir, stop_cf_fraction=0.03)
+    fast = SearchEngine(
+        spark, index_dir, stop_cf_fraction=0.03,
+        cache_term_stats=True, cache_doclens=True,
+    )
+    assert fast.fast_path
+    for q in ("return value", "merge return index"):
+        got = fast.search(q, k=10).collect()
+        want = slow.search(q, k=10).collect()
+        assert [r.doc_id for r in got] == [r.doc_id for r in want], q
+        for g, w in zip(got, want):
+            assert g.score == pytest.approx(w.score, rel=1e-12), q

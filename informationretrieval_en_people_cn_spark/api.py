@@ -400,6 +400,17 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based session windows (30 min) over the events table — the
+    batch twin of the streaming applyInPandasWithState sessionizer
+    (streaming == batch parity is pytest-verified; this is the
+    SQL-checkable face)."""
+    from .streaming.windows import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, gap="30 minutes")
+
+
 def q_pricing_summary(spark, sf_dir):
     """Generic agg parity (A2/A3 shape on a non-IR table)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -565,6 +576,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine,
     "embed_cosine_topk": q_embed_cosine_topk,
     "events_window": q_events_window,
+    "sessionize": q_sessionize,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_cust": q_top_orders_per_cust,
     # rows-only (sketches / engine-native paths)
@@ -775,6 +787,23 @@ ORACLES = {
                count(*) AS n_events,
                round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    # gaps-and-islands session windows (30 min gap, microsecond math)
+    "sessionize": """
+        WITH e AS (SELECT user_id, event_id, ts, value,
+                          epoch_us(ts) AS us,
+                          lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                   FROM events),
+        m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                             THEN 1 ELSE 0 END AS new_sess FROM e),
+        g AS (SELECT *, sum(new_sess) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value_r
+        FROM g GROUP BY user_id, sid
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -491,11 +491,18 @@ def q_ann_lsh(spark, sf_dir, k: int = 10):
 
 
 def q_ann_ivf(spark, sf_dir, k: int = 10):
+    """IVF ANN with the deterministic sample quantizer (centroids = the
+    8 pool vectors with smallest md5(id)) so the DuckDB oracle can
+    replicate the cell assignment, the probe set, and the top-k; the
+    k-means trainer stays the production path (recall asserted on the
+    clustered fixture in pytest/bench)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
-    cents = sim.train_centroids(emb, ncells=8, iters=2)
-    assigned = sim.ivf_assign(emb.filter("vec_id <> 0"), cents)
-    return sim.ivf_topk(assigned, cents, qvec, k, nprobe=3)
+    pool = emb.filter("vec_id <> 0")
+    cents = sim.sample_quantizer(pool, ncells=8)
+    assigned = sim.ivf_assign(pool, cents)
+    out = sim.ivf_topk(assigned, cents, qvec, k, nprobe=3)
+    return out.withColumnRenamed("cosine", "cosine_r")
 
 
 def q_media_features(spark, sf_dir):
@@ -997,6 +1004,41 @@ ORACLES["ann_lsh_topk"] = f"""
     cand AS (SELECT vec_id FROM sig
              WHERE vec_id <> 0
                AND bit_count(xor(bucket, (SELECT qb FROM q))) <= 1)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings
+                  WHERE vec_id = 0)), 6) AS cosine_r
+    FROM embeddings e JOIN cand USING (vec_id)
+    ORDER BY cosine_r DESC, vec_id LIMIT 10
+"""
+
+# ---- IVF oracle: deterministic sample quantizer, replicated in SQL ------
+ORACLES["ann_ivf_topk"] = """
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pool AS (SELECT * FROM vecs WHERE vec_id <> 0),
+    cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                AS cell, v AS c
+              FROM pool
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+    dists AS (SELECT p.vec_id, cents.cell,
+                     list_sum(list_transform(range(1, 65),
+                              j -> (p.v[j] - cents.c[j]) * (p.v[j] - cents.c[j])))
+                       AS d
+              FROM pool p CROSS JOIN cents),
+    assign AS (SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d, cell) AS rn
+                 FROM dists) WHERE rn = 1),
+    qv AS (SELECT v AS q FROM vecs WHERE vec_id = 0),
+    probe AS (SELECT cell FROM (
+                SELECT cell,
+                       row_number() OVER (ORDER BY
+                         list_sum(list_transform(range(1, 65),
+                           j -> (c[j] - q[j]) * (c[j] - q[j]))), cell) AS rn
+                FROM cents CROSS JOIN qv) WHERE rn <= 3),
+    cand AS (SELECT vec_id FROM assign
+             WHERE cell IN (SELECT cell FROM probe))
     SELECT e.vec_id,
            round(list_cosine_similarity(e.embedding::DOUBLE[],
                  (SELECT embedding::DOUBLE[] FROM embeddings

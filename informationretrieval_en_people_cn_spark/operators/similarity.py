@@ -192,6 +192,30 @@ def train_centroids(
     return cents
 
 
+def sample_quantizer(
+    df: DataFrame,
+    ncells: int = 8,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic random-sample coarse quantizer: the ``ncells``
+    vectors with the smallest md5(id) are the centroids — a seeded
+    "random" sample that ANSI SQL can reproduce exactly (unlike k-means,
+    whose centroid floats depend on aggregation order).  Random-sample
+    quantizers are a standard IVF baseline; swap in
+    :func:`train_centroids` when recall/cell-balance matters more than
+    reproducibility."""
+    rows = (
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.md5(F.col("vid").cast("string")))
+        .orderBy("h", "vid")
+        .limit(ncells)
+        .collect()
+    )
+    return np.array([[float(x) for x in r.v] for r in rows], dtype=np.float64)
+
+
 def ivf_assign(
     df: DataFrame, centroids: np.ndarray, *, vec_col: str = "embedding"
 ) -> DataFrame:

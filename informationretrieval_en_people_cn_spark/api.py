@@ -370,6 +370,16 @@ def q_ann_cosine(spark, sf_dir, k: int = 10):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir, threshold: float = 0.35):
+    """Embedding-cosine near-dup pairs (exact method — the complete
+    reference the LSH-blocked scale path is recall-tested against)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.cosine_near_dup_pairs(emb, threshold, method="exact")
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
 def q_embed_cosine_topk(spark, sf_dir, k: int = 10):
     """Self-produced embeddings end-to-end (reference Doc2Vec loop,
     Doc2Vec.py:41-49 + Doc2VecMostSimilar.py:22-33, rebuilt as the
@@ -582,6 +592,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "ann_cosine_topk": q_ann_cosine,
     "embed_cosine_topk": q_embed_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "pricing_summary": q_pricing_summary,
@@ -761,6 +772,15 @@ ORACLES = {
                  AS cosine_r
         FROM embeddings WHERE vec_id <> 0
         ORDER BY cosine_r DESC, vec_id LIMIT 10
+    """,
+    "embedding_near_dup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6)
+                 AS cosine_r
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.35
     """,
     # hashed-projection embedding + cosine computed SPARSELY (join on
     # shared buckets == dense dot product; absent buckets contribute 0)

@@ -157,3 +157,26 @@ def test_embed_documents_deterministic_and_feeds_ann(spark):
         id_col="doc_id",
     ).collect()
     assert got[0].vec_id == 2 and got[0].cosine == pytest.approx(1.0)
+
+
+def test_cosine_near_dup_lsh_recall(spark, clustered):
+    """The LSH-blocked near-dup path must recover >= 90% of the exact
+    pair set on clustered geometry (threshold in the intra-cluster
+    cosine band)."""
+    from informationretrieval_en_people_cn_spark.operators import similarity as sim
+
+    pool, _, _ = clustered
+    sub = pool.filter("vec_id < 600").cache()  # keep the exact join small
+    exact = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs(sub, 0.8, method="exact").collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs(
+            sub, 0.8, method="lsh", bits=6, tables=12
+        ).collect()
+    }
+    assert exact, "fixture must produce near-dup pairs"
+    assert got <= exact  # verification makes LSH precision exact
+    assert len(got & exact) / len(exact) >= 0.9

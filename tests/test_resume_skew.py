@@ -295,3 +295,48 @@ def test_fast_path_stopterm_parity(spark, index_dir):
         assert [r.doc_id for r in got] == [r.doc_id for r in want], q
         for g, w in zip(got, want):
             assert g.score == pytest.approx(w.score, rel=1e-12), q
+
+
+def test_fast_path_random_corpora_and_queries(spark, tmp_path):
+    """Randomized cross-check: on random corpora and random query
+    strings, the fast path and the distributed plan agree exactly."""
+    import random
+
+    from informationretrieval_en_people_cn_spark.operators.build import build_index
+    from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
+    from informationretrieval_en_people_cn_spark.sources.corpus import (
+        synth_corpus,
+        with_doc_ids,
+    )
+
+    words = ["merge", "window", "return", "value", "index", "buffer",
+             "compression", "posting", "shuffle", "zzznope"]
+    for seed in (11, 23):
+        corpus = with_doc_ids(synth_corpus(spark, n_docs=80, seed=seed))
+        out = str(tmp_path / f"idx{seed}")
+        build_index(spark, corpus, out, slices=2, salt=2, block_size=8)
+        slow = SearchEngine(spark, out)
+        fast = SearchEngine(
+            spark, out, cache_term_stats=True, cache_doclens=True
+        )
+        rng = random.Random(seed)
+        queries = []
+        for _ in range(6):
+            kind = rng.choice(["ranked", "and", "or", "not", "prefix"])
+            a, b = rng.sample(words, 2)
+            queries.append({
+                "ranked": f"{a} {b}",
+                "and": f"{a} AND {b}",
+                "or": f"{a} OR {b}",
+                "not": f"{a} NOT {b}",
+                "prefix": f"{a[:3]}*",
+            }[kind])
+        for q in queries:
+            got = fast.search(q, k=10).collect()
+            want = slow.search(q, k=10).collect()
+            if got and "score" in got[0].asDict():
+                assert [r.doc_id for r in got] == [r.doc_id for r in want], (seed, q)
+                for g, w in zip(got, want):
+                    assert g.score == pytest.approx(w.score, rel=1e-12), (seed, q)
+            else:
+                assert {r.doc_id for r in got} == {r.doc_id for r in want}, (seed, q)

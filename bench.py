@@ -83,13 +83,13 @@ def main() -> None:
     engine_dist = SearchEngine(spark, out, cache_term_stats=True, fast_path=False)
     timings: dict[str, float] = {}
     for name, q in QUERY_SET.items():
-        for suffix, eng in (("", engine), ("_dist", engine_dist)):
+        for suffix, eng, reps in (("", engine, 3), ("_dist", engine_dist, 1)):
             runs = []
-            for _ in range(3):
+            for _ in range(reps):
                 t0 = time.time()
                 eng.search(q, k=10).collect()
                 runs.append(time.time() - t0)
-            timings[name + suffix] = round(sorted(runs)[1], 4)  # median of 3
+            timings[name + suffix] = round(sorted(runs)[len(runs) // 2], 4)
 
     # pipeline headliners at the same SF
     from informationretrieval_en_people_cn_spark import api

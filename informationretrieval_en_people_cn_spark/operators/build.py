@@ -90,6 +90,7 @@ BLOCKS_TYPE = T.ArrayType(
 INDEX_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
         T.StructField("first_doc", T.LongType(), False),
         T.StructField("df", T.LongType(), False),
         T.StructField("cf", T.LongType(), False),
@@ -261,9 +262,13 @@ def _merge_bucket(block_size: int):
         import pandas as pd
 
         cols = {
-            "term": [], "first_doc": [], "df": [], "cf": [],
+            "term": [], "bucket": [], "first_doc": [], "df": [], "cf": [],
             "postings": [], "blocks": [],
         }
+        # all rows in this group share one doc-range bucket (the group
+        # key); stored so queries can align rows ACROSS terms on the
+        # shared bucket grid (distributed block-max pruning)
+        bucket = int(pdf["salt"].iloc[0])
         for term, g in pdf.groupby("term", sort=True):
             all_d, all_t, all_p = [], [], []
             for frame in g["frame"]:
@@ -278,6 +283,7 @@ def _merge_bucket(block_size: int):
             d, t = d0[order], t0[order]
             pos = _reorder_positions(p, t0, order) if p.size else None
             cols["term"].append(term)
+            cols["bucket"].append(bucket)
             cols["first_doc"].append(int(d[0]))
             cols["df"].append(len(d))
             cols["cf"].append(int(t.sum()))

@@ -101,6 +101,7 @@ class SearchEngine:
         cache_doclens: bool = False,
         fast_path: bool | None = None,
         fast_max_postings: int = 5_000_000,
+        use_blockmax: bool = False,
     ):
         self.spark = spark
         self.use_stemmer = use_stemmer
@@ -153,6 +154,10 @@ class SearchEngine:
         if fast_path is None:
             fast_path = self.term_stats is not None and self._doclen_ids is not None
         self.fast_path = fast_path
+        # distributed block-max pruning for pure-keyword ranked top-k
+        # (opt-in; results identical to the exhaustive plan — tested)
+        self.use_blockmax = use_blockmax
+        self.last_blockmax: dict | None = None
 
     # ---- analysis (MUST mirror the build path) -------------------------
     def _q(self, text: str) -> list[str]:
@@ -377,31 +382,34 @@ class SearchEngine:
                 terms = kept
         return terms
 
-    def score_terms(self, terms: list[str], k: int | None = None) -> DataFrame:
-        """BM25 over the disjunction of ``terms`` → (doc_id, score[, ...])."""
-        terms = sorted(set(terms))
-        rows = self._index_rows(terms)
-        decoded = decode_postings_df(rows)
-        # hot terms span multiple doc-range-disjoint rows: df is the sum
+    def _term_df_stats(self, terms: list[str], rows: DataFrame) -> DataFrame:
+        """(term, df) — global df per term (hot terms span rows)."""
         if self.term_stats is not None:
             present = [t for t in terms if t in self.term_stats]
-            stats = self.spark.createDataFrame(
-                [(t, self.term_stats[t][0]) for t in present], "term string, df long"
-            ) if present else rows.groupBy("term").agg(F.sum("df").alias("df"))
-        else:
-            stats = rows.groupBy("term").agg(F.sum("df").alias("df"))
-        k1, b = self.k1, self.b
-        idf = F.log(
+            if present:
+                return self.spark.createDataFrame(
+                    [(t, self.term_stats[t][0]) for t in present],
+                    "term string, df long",
+                )
+        return rows.groupBy("term").agg(F.sum("df").alias("df"))
+
+    def _idf_expr(self):
+        return F.log(
             F.lit(1.0)
             + (F.lit(float(self.n_docs)) - F.col("df") + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
         )
+
+    def _score_rows(self, rows: DataFrame, stats: DataFrame) -> DataFrame:
+        """Decode + BM25-score index rows -> (doc_id, score)."""
+        k1, b = self.k1, self.b
+        decoded = decode_postings_df(rows)
         scored = (
             decoded.join(F.broadcast(stats), "term")
             .join(self.docs.select("doc_id", "doclen"), "doc_id")
             .withColumn(
                 "s",
-                idf
+                self._idf_expr()
                 * (F.col("tf") * (k1 + 1))
                 / (
                     F.col("tf")
@@ -411,18 +419,90 @@ class SearchEngine:
         )
         # canonical-order float64 summation → bit-stable across
         # parallelism levels (SURVEY §4.3.5)
-        agg = scored.groupBy("doc_id").agg(
+        return scored.groupBy("doc_id").agg(
             F.aggregate(
                 F.array_sort(F.collect_list(F.struct("term", "s"))),
                 F.lit(0.0),
                 lambda acc, x: acc + x["s"],
             ).alias("score")
         )
+
+    def score_terms(self, terms: list[str], k: int | None = None) -> DataFrame:
+        """BM25 over the disjunction of ``terms`` → (doc_id, score[, ...])."""
+        terms = sorted(set(terms))
+        rows = self._index_rows(terms)
+        stats = self._term_df_stats(terms, rows)
+        agg = self._score_rows(rows, stats)
         out = agg.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k else out
 
+    def score_terms_blockmax(self, terms: list[str], k: int) -> DataFrame:
+        """Distributed top-k with bucket-grid block-max pruning.
+
+        The index stores every row's doc-range *bucket* — the build's
+        salted-merge grid, which is SHARED across terms (a doc's
+        postings for ALL terms live in exactly one bucket).  So
+        per-bucket upper-bound sums are sound doc-score bounds:
+
+            score(d ∈ bucket B) ≤ Σ_t rowUB_t(B),
+            rowUB = idf(t) · ub(max block tf)  (doclen→0 bound)
+
+        Phase 1 (metadata only — block maxima, no posting decode):
+        per-bucket UB sums.  Phase 2: θ = the k-th best TRUE score
+        inside the most promising bucket.  Phase 3: decode + score only
+        buckets with UB ≥ θ.  Identical results to :meth:`score_terms`
+        (tested); buckets whose bound cannot reach the top-k are never
+        decoded — the distributed analogue of the driver-side WAND.
+        Falls back to score_terms for pre-bucket-column indexes.
+        Pruning stats land in :attr:`last_blockmax` for observability.
+        """
+        terms = sorted(set(terms))
+        if "bucket" not in self.index.columns:
+            return self.score_terms(terms, k)
+        rows = self._index_rows(terms)
+        stats = self._term_df_stats(terms, rows)
+        k1, b = self.k1, self.b
+        maxtf = F.array_max(
+            F.transform("blocks", lambda bl: bl["max_tf"])
+        ).cast("double")
+        rowub = (
+            self._idf_expr() * (maxtf * (k1 + 1)) / (maxtf + k1 * (1 - b))
+        )
+        bucket_ubs = (
+            rows.select("term", "bucket", "blocks")  # index df col would
+            .join(F.broadcast(stats), "term")        # shadow stats.df
+            .select("bucket", rowub.alias("ub"))
+            .groupBy("bucket")
+            .agg(F.sum("ub").alias("ub"))
+            .collect()
+        )
+        if not bucket_ubs:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        best = max(bucket_ubs, key=lambda r: r.ub).bucket
+        probe = (
+            self._score_rows(rows.filter(F.col("bucket") == best), stats)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        theta = probe[-1].score if len(probe) == k else -math.inf
+        survivors = [int(r.bucket) for r in bucket_ubs if r.ub >= theta]
+        self.last_blockmax = {
+            "buckets_total": len(bucket_ubs),
+            "buckets_scored": len(survivors),
+            "theta": theta,
+        }
+        final = self._score_rows(
+            rows.filter(F.col("bucket").isin(survivors)), stats
+        )
+        return final.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def ranked(self, node: qt.RankedNode, raw_query: str, k: int = 10) -> DataFrame:
         terms = self._query_terms(raw_query)
+        if self.use_blockmax and all(
+            leaf.kind == "keyword" for leaf in node.children
+        ):
+            return self.score_terms_blockmax(terms, k)
         scored = self.score_terms(terms)
         # candidates = union of leaf results (reference SearchEngine.py:274-276);
         # differs from plain disjunctive BM25 when leaves are phrases.

@@ -250,3 +250,55 @@ def test_wand_random_equals_exhaustive_across_block_sizes():
             assert [d for d, _ in got] == [d for d, _ in want], (bs, k)
             for (gd, gs), (wd, ws) in zip(got, want):
                 assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_blockmax_distributed_equals_exhaustive(spark, index_dir, engine):
+    """The bucket-grid block-max plan must return exactly the
+    exhaustive plan's top-k (docIDs AND scores) for every k."""
+    from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
+
+    bm = SearchEngine(spark, index_dir, use_blockmax=True)
+    for q in ["merge window", "return value index", "compression"]:
+        terms = engine._query_terms(q)
+        for k in (1, 5, 20):
+            got = bm.score_terms_blockmax(terms, k).collect()
+            want = engine.score_terms(terms, k).collect()
+            assert [r.doc_id for r in got] == [r.doc_id for r in want], (q, k)
+            for g, w in zip(got, want):
+                assert g.score == w.score, (q, k)  # bit-identical
+            assert bm.last_blockmax["buckets_scored"] <= bm.last_blockmax[
+                "buckets_total"
+            ]
+
+
+def test_blockmax_prunes_buckets_on_skew(spark, tmp_path):
+    """On a corpus where one doc range dominates a term's tf, phase 3
+    must skip the hopeless buckets (never decode them)."""
+    from informationretrieval_en_people_cn_spark.operators.build import build_index
+    from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
+
+    rows = []
+    for i in range(120):
+        # docs 100-119 carry 'merge' with huge tf; the rest one mention
+        body = ("merge " * 25) if i >= 100 else "merge "
+        rows.append(
+            (i, f"r", f"p{i}", "0" * 40, "py",
+             body + "filler tokens value index buffer", "x")
+        )
+    corpus = spark.createDataFrame(
+        rows,
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string, sha256 string",
+    )
+    out = str(tmp_path / "skewidx")
+    build_index(spark, corpus, out, slices=2, salt=2, block_size=8)
+    eng = SearchEngine(spark, out, use_blockmax=True)
+    exhaustive = SearchEngine(spark, out)
+    terms = eng._q("merge")  # build is stemmed; analyze like the engine
+    got = eng.score_terms_blockmax(terms, 5).collect()
+    want = exhaustive.score_terms(terms, 5).collect()
+    assert got, "query must match documents"
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    assert all(r.doc_id >= 100 for r in got)  # the high-tf range wins
+    m = eng.last_blockmax
+    assert m["buckets_scored"] < m["buckets_total"], m  # real pruning

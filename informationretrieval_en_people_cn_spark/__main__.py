@@ -51,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
             help="low-latency driver-side path (caches term stats + "
             "doclens; falls back to the distributed plan over budget)",
         )
+        sp.add_argument(
+            "--blockmax",
+            action="store_true",
+            help="distributed block-max pruning for ranked top-k "
+            "(bucket-grid upper bounds; identical results)",
+        )
 
     args = p.parse_args(argv)
 
@@ -88,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
                 edges=edges,
                 cache_term_stats=args.fast,
                 cache_doclens=args.fast,
+                use_blockmax=args.blockmax,
             )
             queries = (
                 [args.query]

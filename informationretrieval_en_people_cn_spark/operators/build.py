@@ -341,12 +341,31 @@ def _doclens_from_runs(runs: DataFrame) -> DataFrame:
     return runs.select("frame").mapInPandas(gen, schema)
 
 
+POINTER_NAME = "_current.json"
+
+
 class IndexPaths:
+    """Resolves the index-dir table paths through the manifest POINTER
+    when one exists (written by ``refresh_index``'s snapshot commit —
+    the Iceberg-style atomic pointer that also works on object stores,
+    where rename-as-swap does not).  Without a pointer the default
+    table names apply (a fresh ``build_index`` layout)."""
+
     def __init__(self, out_dir: str):
+        import json
+
         self.out_dir = out_dir
-        self.docs = os.path.join(out_dir, "docs")
-        self.index = os.path.join(out_dir, "index")
-        self.stats = os.path.join(out_dir, "stats")
+        names = {"index": "index", "docs": "docs", "stats": "stats"}
+        self.version = 0
+        ptr = os.path.join(out_dir, POINTER_NAME)
+        if os.path.exists(ptr):
+            with open(ptr, encoding="utf-8") as f:
+                snap = json.load(f)  # atomic replace ⇒ never torn
+            names.update({k: snap[k] for k in names if k in snap})
+            self.version = int(snap.get("version", 0))
+        self.docs = os.path.join(out_dir, names["docs"])
+        self.index = os.path.join(out_dir, names["index"])
+        self.stats = os.path.join(out_dir, names["stats"])
         self.runs = os.path.join(out_dir, "runs")
 
 
@@ -594,5 +613,20 @@ def build_index(
             path=paths.index,
             n_docs=n_docs,
             wall_ms=int((time.time() - t0) * 1000),
+        )
+        # record the EXACT run paths this merge consumed: refresh_index
+        # re-merges from this list (+ streamed runs), never from a
+        # recursive directory listing — stale run artifacts a config
+        # change left on disk (root-level files after fresh→resume, or
+        # slice=N dirs from an older slice count) must not be re-merged
+        # (they would duplicate postings).  ADVICE r2.
+        import json as _json
+
+        ckpt.commit(
+            out_dir,
+            partition_id=-3,
+            stage="run_inputs",
+            fingerprint=fp_merge,
+            path=_json.dumps(run_inputs),
         )
     return paths

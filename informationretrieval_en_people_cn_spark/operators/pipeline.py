@@ -439,11 +439,17 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id).
 
     cluster_id = the smallest doc_id in the component (the canonical
-    "keep" representative).  Iterative min-label propagation as joins —
-    O(component diameter) rounds; near-dup components are shallow
-    (cliques / short chains), so this converges in 2-4 rounds in
-    practice.  Input: (doc_a, doc_b, ...) pairs; only docs appearing in
-    some pair are returned (singletons are their own cluster trivially).
+    "keep" representative).  Min-label propagation WITH pointer jumping:
+    each round takes min(own label, neighbors' labels, label-of-label),
+    so label chains halve every round — **O(log diameter)** rounds, not
+    O(diameter) (a templated-boilerplate corpus at 100× can produce
+    near-dup chains hundreds of docs long; plain propagation at
+    max_iters=20 would silently return wrong labels on them — VERDICT
+    r2).  If the loop still exits by iteration cap without converging it
+    RAISES instead of returning unconverged labels that look valid.
+
+    Input: (doc_a, doc_b, ...) pairs; only docs appearing in some pair
+    are returned (singletons are their own cluster trivially).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -453,25 +459,50 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
+    # localCheckpoint each round: the iterative plan references `labels`
+    # three times per round, so without lineage truncation the logical
+    # plan grows 3^rounds and the DRIVER (not the data) OOMs.  At
+    # production scale point sparkContext.setCheckpointDir at durable
+    # storage and swap localCheckpoint -> checkpoint for fault tolerance.
     labels = edges.groupBy("src").agg(F.min("dst").alias("nbr")).select(
         F.col("src").alias("doc_id"),
         F.least("src", "nbr").alias("cluster_id"),
-    ).persist()
+    ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_label"))
+            .select(F.col("src").alias("doc_id"), "nbr_label")
+        )
+        # pointer jump: my label's OWN label (labels is keyed by doc_id
+        # and every label is a doc_id in the relation, or the doc itself)
+        jump = (
+            labels.select(
+                F.col("doc_id").alias("jdoc"), F.col("cluster_id").alias("jlbl")
+            )
+            .join(
+                labels.select(
+                    F.col("doc_id").alias("jlbl"),
+                    F.col("cluster_id").alias("jump_label"),
+                ),
+                "jlbl",
+            )
+            .select(F.col("jdoc").alias("doc_id"), "jump_label")
         )
         new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            labels.join(nbr_min, "doc_id", "left")
+            .join(jump, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
-                    "cluster_id", F.coalesce("nbr_label", "cluster_id")
+                    "cluster_id",
+                    F.coalesce("nbr_label", "cluster_id"),
+                    F.coalesce("jump_label", "cluster_id"),
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -480,11 +511,17 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters} "
+            "rounds — raise max_iters (rounds needed ≈ log2 of the largest "
+            "component's diameter with pointer jumping)"
+        )
     return labels
 
 

@@ -99,15 +99,21 @@ class SearchEngine:
         corpus: DataFrame | None = None,
         cache_term_stats: bool = False,
         cache_doclens: bool = False,
+        cache_content: bool = False,
+        content_cache_max_bytes: int = 256 << 20,
         fast_path: bool | None = None,
         fast_max_postings: int = 5_000_000,
-        use_blockmax: bool = False,
+        use_blockmax: bool | None = None,
+        blockmax_min_sumdf: int = 5_000_000,
     ):
+        from ..operators.build import IndexPaths
+
         self.spark = spark
         self.use_stemmer = use_stemmer
         self.k1, self.b = k1, b
-        self.index = spark.read.parquet(f"{index_dir}/index")
-        self.docs = spark.read.parquet(f"{index_dir}/docs")
+        paths = IndexPaths(index_dir)  # pointer-aware (snapshot commits)
+        self.index = spark.read.parquet(paths.index)
+        self.docs = spark.read.parquet(paths.docs)
         # document store for phrase verification: the docs table when it
         # carries content (small scale), else the source corpus table
         # (at scale content is not duplicated into the docs table)
@@ -117,7 +123,7 @@ class SearchEngine:
             self.content_df = corpus.select("doc_id", "content")
         else:
             self.content_df = None
-        st = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+        st = spark.read.parquet(paths.stats).collect()[0]
         self.n_docs = st.n_docs
         self.avgdl = float(st.avg_doclen or 0.0) or 1.0
         self.collection_term_count = st.collection_term_count or 0
@@ -146,6 +152,20 @@ class SearchEngine:
             vals = np.array([r.doclen for r in rows], dtype=np.int64)
             order = np.argsort(ids)
             self._doclen_ids, self._doclen_vals = ids[order], vals[order]
+        # optional driver-side document store (lowercased content) for
+        # zero-job phrase verification.  Guarded by a byte budget checked
+        # BEFORE the collect (one tiny agg job at init); over budget the
+        # cache stays off and phrase-verify keeps its pruned-scan job.
+        self._content_cache: dict[int, str] | None = None
+        if cache_content and self.content_df is not None:
+            total = self.content_df.agg(
+                F.sum(F.length("content")).alias("b")
+            ).collect()[0].b
+            if total is not None and total <= content_cache_max_bytes:
+                self._content_cache = {
+                    r.doc_id: (r.content or "").lower()
+                    for r in self.content_df.collect()
+                }
         # fast path: evaluate small queries driver-side over the decoded
         # (pruned) postings — the reference's own execution model, kept
         # behind a Σdf budget; the distributed plan is always the
@@ -153,10 +173,22 @@ class SearchEngine:
         self.fast_max_postings = fast_max_postings
         if fast_path is None:
             fast_path = self.term_stats is not None and self._doclen_ids is not None
+        elif fast_path and (self.term_stats is None or self._doclen_ids is None):
+            # ADVICE r2: without BOTH caches the fast path would score
+            # every doc with doclen 0 (silently wrong BM25) or crash on
+            # term_stats.get — refuse loudly instead of degrading.
+            raise ValueError(
+                "fast_path=True requires cache_term_stats=True and "
+                "cache_doclens=True (fast scoring needs both caches)"
+            )
         self.fast_path = fast_path
-        # distributed block-max pruning for pure-keyword ranked top-k
-        # (opt-in; results identical to the exhaustive plan — tested)
+        # distributed block-max pruning for pure-keyword ranked top-k.
+        # None = auto: with cached term stats, queries whose Σdf crosses
+        # blockmax_min_sumdf take the pruning plan (two extra metadata
+        # round-trips only pay off on big skewed indexes); small queries
+        # keep the 1-job exhaustive plan.  Results identical — tested.
         self.use_blockmax = use_blockmax
+        self.blockmax_min_sumdf = blockmax_min_sumdf
         self.last_blockmax: dict | None = None
 
     # ---- analysis (MUST mirror the build path) -------------------------
@@ -497,11 +529,23 @@ class SearchEngine:
         )
         return final.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def _want_blockmax(self, terms: list[str]) -> bool:
+        """Auto-select the bucket-pruning plan: explicit True wins;
+        None = on when cached term stats say Σdf crosses the threshold
+        (the same budget notion that bounds the driver fast path — big
+        skewed queries prune, small queries keep the 1-job plan)."""
+        if self.use_blockmax is not None:
+            return self.use_blockmax
+        if self.term_stats is None:
+            return False  # no free Σdf estimate: stay exhaustive
+        sumdf = sum(self.term_stats.get(t, (0, 0))[0] for t in set(terms))
+        return sumdf >= self.blockmax_min_sumdf
+
     def ranked(self, node: qt.RankedNode, raw_query: str, k: int = 10) -> DataFrame:
         terms = self._query_terms(raw_query)
-        if self.use_blockmax and all(
+        if all(
             leaf.kind == "keyword" for leaf in node.children
-        ):
+        ) and self._want_blockmax(terms):
             return self.score_terms_blockmax(terms, k)
         scored = self.score_terms(terms)
         # candidates = union of leaf results (reference SearchEngine.py:274-276);
@@ -608,7 +652,11 @@ class SearchEngine:
         return postings
 
     def _doclen_of(self, docs: np.ndarray) -> np.ndarray:
-        if self._doclen_ids is None or len(self._doclen_ids) == 0:
+        if self._doclen_ids is None:
+            # unreachable when constructed through __init__ (fast_path
+            # requires the cache); guards against silent all-zero doclens
+            raise RuntimeError("doclen cache not loaded (cache_doclens=False)")
+        if len(self._doclen_ids) == 0:
             return np.zeros(len(docs), dtype=np.int64)
         pos = np.searchsorted(self._doclen_ids, docs)
         pos = np.clip(pos, 0, len(self._doclen_ids) - 1)
@@ -654,6 +702,16 @@ class SearchEngine:
             cand = d if cand is None else np.intersect1d(cand, d)
         if cand is None or cand.size == 0:
             return empty
+        if self._content_cache is not None:
+            # zero-job verify: the driver-side document store (loaded
+            # under a byte budget) answers the substring check directly —
+            # same semantics as contains(lower(content), needle)
+            hits = [
+                int(d)
+                for d in cand
+                if needle in self._content_cache.get(int(d), "")
+            ]
+            return np.array(sorted(hits), dtype=np.int64)
         if self.content_df is None:
             raise ValueError(
                 "phrase verification needs a document store: docs table "
@@ -852,12 +910,15 @@ def wand_topk(
         if not live:
             break
         live.sort(key=lambda t: (cur_doc(t), t))
-        # pivot: smallest prefix whose GLOBAL UB sum can beat threshold
+        # pivot: smallest prefix whose GLOBAL UB sum can beat OR TIE the
+        # threshold — ties must not be pruned: a doc scoring exactly the
+        # k-th heap score could win the (-score, doc_id) tie-break, so
+        # pruning uses strict <, candidacy uses >= (conservative)
         acc = 0.0
         pivot_i = None
         for i, t in enumerate(live):
             acc += term_gub[t]
-            if len(heap) < k or acc > threshold:
+            if len(heap) < k or acc >= threshold:
                 pivot_i = i
                 break
         if pivot_i is None:
@@ -871,7 +932,7 @@ def wand_topk(
             gt_docs = [cur_doc(t) for t in live if cur_doc(t) > pivot_doc]
             eq_blocks = {t: cur_block(t, pivot_doc) for t in eq_terms}
             block_bound = sum(float(block_ub[t][eq_blocks[t]]) for t in eq_terms)
-            if len(heap) == k and block_bound <= threshold:
+            if len(heap) == k and block_bound < threshold:
                 # block-max skip: no doc in [pivot_doc, d') can beat the
                 # threshold — only eq_terms occur there (others' cursors
                 # are >= d') and each is bounded by its CURRENT block max

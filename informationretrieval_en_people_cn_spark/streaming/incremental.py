@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import checkpoint as ckpt
 from ..operators.build import (
     INDEX_SCHEMA,
+    POINTER_NAME,
     IndexPaths,
     _merge_bucket,
     partition_runs,
@@ -94,18 +95,66 @@ def incremental_index(
     return writer.start()
 
 
-def _swap_in(path: str) -> None:
-    """Promote ``path + '_new'`` over ``path`` via rename — readers see
-    old or new, never a mix.  NOTE: rename-as-swap assumes a local /
-    HDFS-like filesystem; on object stores use a metastore pointer (or
-    Iceberg snapshot commit) instead."""
-    import shutil
+def _run_input_paths(out_dir: str) -> list[str]:
+    """The run paths a refresh may merge, derived from the MANIFEST —
+    never from a directory listing (ADVICE r2: stale run artifacts a
+    config change left on disk — root-level files after fresh→resume,
+    slice=N dirs from an older slice count — would duplicate postings).
 
-    if os.path.exists(path):
-        shutil.rmtree(path + "_old", ignore_errors=True)
-        os.rename(path, path + "_old")
-    os.rename(path + "_new", path)
-    shutil.rmtree(path + "_old", ignore_errors=True)
+    = the batch run set the last committed merge actually consumed
+    (the ``run_inputs`` manifest row) + the latest committed
+    ``stream_runs`` path per micro-batch id.
+    """
+    import json
+
+    batch_inputs: list[str] = []
+    best_ts = -1.0
+    stream: dict[int, tuple[float, str]] = {}
+    slices: dict[int, tuple[float, str]] = {}
+    runs_all: tuple[float, str] | None = None
+    for r in ckpt.read_manifest(out_dir):
+        if r.get("status") != "committed":
+            continue
+        ts = float(r.get("ts", 0.0))
+        if r["stage"] == "run_inputs" and ts > best_ts:
+            best_ts, batch_inputs = ts, json.loads(r["path"])
+        elif r["stage"] == "stream_runs":
+            cur = stream.get(r["partition_id"])
+            if cur is None or ts > cur[0]:
+                stream[r["partition_id"]] = (ts, r["path"])
+        elif r["stage"] == "runs":
+            cur = slices.get(r["partition_id"])
+            if cur is None or ts > cur[0]:
+                slices[r["partition_id"]] = (ts, r["path"])
+        elif r["stage"] == "runs_all" and (runs_all is None or ts > runs_all[0]):
+            runs_all = (ts, r["path"])
+    if not batch_inputs:  # manifest predates run_inputs rows: reconstruct
+        if slices:
+            batch_inputs = [p for _, p in sorted(slices.values(), key=lambda x: x[1])]
+        elif runs_all is not None:
+            batch_inputs = [runs_all[1]]
+    return batch_inputs + [p for _, p in sorted(stream.values(), key=lambda x: x[1])]
+
+
+def _commit_snapshot(out_dir: str, names: dict[str, str], version: int) -> None:
+    """Atomic table-pointer commit (Iceberg-snapshot style): write the
+    new pointer to a temp file, fsync, ``os.replace`` over the live
+    pointer.  Readers resolve the pointer at open time and keep reading
+    their resolved paths — the previous version's directories are kept
+    for them (one-version GC happens on the NEXT refresh), so a swap
+    never yanks files out from under a concurrent query.  Unlike
+    rename-as-swap this also maps onto object stores (the pointer is a
+    metastore row / small object; table data is immutable)."""
+    import json
+    import uuid
+
+    ptr = os.path.join(out_dir, POINTER_NAME)
+    tmp = os.path.join(out_dir, f".{POINTER_NAME}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"version": version, **names}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ptr)
 
 
 def refresh_index(
@@ -116,24 +165,51 @@ def refresh_index(
     block_size: int = 128,
     index_files: int = 8,
 ) -> None:
-    """Re-merge ALL runs (batch + streamed) into the index table AND
-    rebuild the docs/stats tables, so the refreshed dir is fully
-    loadable by SearchEngine and ranked queries see streamed docs.
+    """Re-merge the committed runs (batch + streamed) into a NEW index
+    snapshot AND rebuild the docs/stats tables, then atomically commit
+    the snapshot pointer — so a SearchEngine opened afterwards sees
+    streamed docs, while engines opened before keep their old version.
 
     Only compressed frames move; tokenization never re-runs (doc
-    lengths are decoded from the committed runs).  ``corpus`` — the
-    source table covering every indexed doc — enriches the docs table
-    with the corpus columns (content for phrase verification, repo /
-    path / lang).  Without it the docs table carries (doc_id, doclen)
-    only, which serves ranked + boolean lookups; docs that index zero
-    terms are then absent, so n_docs counts indexed docs only.
+    lengths are decoded from the committed runs).  Run inputs come from
+    the manifest (see :func:`_run_input_paths`), so stale artifacts on
+    disk are never merged.  ``corpus`` — the source table covering
+    every indexed doc — enriches the docs table with the corpus columns
+    (content for phrase verification, repo / path / lang).  Without it
+    the docs table carries (doc_id, doclen) only, which serves ranked +
+    boolean lookups; docs that index zero terms are then absent, so
+    n_docs counts indexed docs only.
     """
+    import shutil
+
     from pyspark.sql import functions as F
 
     from ..operators.build import _doclens_from_runs
 
-    paths = IndexPaths(out_dir)
-    all_runs = spark.read.option("recursiveFileLookup", "true").parquet(paths.runs)
+    old = IndexPaths(out_dir)  # current snapshot (pointer-resolved)
+    run_inputs = _run_input_paths(out_dir)
+    if not run_inputs:
+        # dir predates run_inputs manifests (or is stream-only): every
+        # committed stream batch appears as stream_runs rows; a missing
+        # batch merge row means the runs dir holds exactly one build's
+        # artifacts — the recursive read is then safe and kept as the
+        # compatibility fallback
+        run_inputs = [old.runs]
+        all_runs = spark.read.option("recursiveFileLookup", "true").parquet(
+            *run_inputs
+        )
+    else:
+        all_runs = spark.read.parquet(*run_inputs)
+    version = old.version + 1
+    names = {
+        "index": f"index_v{version}",
+        "docs": f"docs_v{version}",
+        "stats": f"stats_v{version}",
+    }
+    new_index = os.path.join(out_dir, names["index"])
+    new_docs = os.path.join(out_dir, names["docs"])
+    new_stats = os.path.join(out_dir, names["stats"])
+
     merged = (
         all_runs.groupBy("salt")
         .applyInPandas(_merge_bucket(block_size), INDEX_SCHEMA)
@@ -143,7 +219,7 @@ def refresh_index(
         merged.repartitionByRange(index_files, "term")
         .sortWithinPartitions("term", "first_doc")
         .write.mode("overwrite")
-        .parquet(paths.index + "_new")
+        .parquet(new_index)
     )
     merged.unpersist()
 
@@ -168,14 +244,22 @@ def refresh_index(
         docs = dl
     docs.repartitionByRange(index_files, "doc_id").sortWithinPartitions(
         "doc_id"
-    ).write.mode("overwrite").parquet(paths.docs + "_new")
-    stats = spark.read.parquet(paths.docs + "_new").agg(
+    ).write.mode("overwrite").parquet(new_docs)
+    stats = spark.read.parquet(new_docs).agg(
         F.count("*").alias("n_docs"),
         F.sum("doclen").alias("collection_term_count"),
         F.avg("doclen").alias("avg_doclen"),
     )
-    stats.write.mode("overwrite").parquet(paths.stats + "_new")
+    stats.write.mode("overwrite").parquet(new_stats)
 
-    _swap_in(paths.index)
-    _swap_in(paths.docs)
-    _swap_in(paths.stats)
+    _commit_snapshot(out_dir, names, version)
+
+    # GC: drop snapshots OLDER than the one we just superseded — the
+    # immediately-previous version stays on disk for readers that
+    # resolved the pointer before this commit
+    keep = {new_index, new_docs, new_stats, old.index, old.docs, old.stats}
+    for v in range(version - 1):
+        for kind in ("index", "docs", "stats"):
+            p = os.path.join(out_dir, f"{kind}_v{v}" if v else kind)
+            if p not in keep and os.path.exists(p):
+                shutil.rmtree(p, ignore_errors=True)

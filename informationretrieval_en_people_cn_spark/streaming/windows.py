@@ -106,53 +106,83 @@ SESSION_SCHEMA = T.StructType(
 
 _STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_ms", T.LongType(), False),
-        T.StructField("last_ms", T.LongType(), False),
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
         T.StructField("n_events", T.LongType(), False),
         T.StructField("sum_value", T.DoubleType(), False),
     ]
 )
 
 
-def _session_fn(gap_ms: int):
+def _session_fn(gap_us: int):
+    """State + emitted timestamps carried in MICROSECONDS — the same
+    resolution sessionize_batch's unix_micros arithmetic compares, so
+    sub-millisecond events make identical gap decisions on both paths
+    (ADVICE r2: the old millisecond truncation diverged from the twin).
+
+    Late events (t <= last seen) arriving in a later micro-batch but
+    inside the watermark fold into the OPEN session when they lie within
+    ``gap`` of its start (extending session_start backward); a late
+    event older than start - gap emits immediately as its own closed
+    session.  Events late enough to belong to an ALREADY-EMITTED session
+    cannot be merged retroactively (append mode) — exact parity with the
+    batch twin therefore assumes per-user in-order arrival across
+    micro-batches, which the parity test (and Trigger.AvailableNow
+    ingestion of time-ordered sources) satisfies; within a micro-batch
+    any order is handled (events are sorted here).
+    """
+
     def fn(key, pdfs, state: GroupState):
         user_id = key[0]
         if state.hasTimedOut:
-            (start_ms, last_ms, n, sv) = state.get
+            (start_us, last_us, n, sv) = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
                     "n_events": [n],
                     "sum_value": [sv],
                 }
             )
             return
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+        ts_us = (rows["ts"].astype("int64") // 1_000).to_numpy()
         vals = rows["value"].to_numpy()
         out = []
         if state.exists:
-            start_ms, last_ms, n, sv = state.get
+            start_us, last_us, n, sv = state.get
         else:
-            start_ms, last_ms, n, sv = int(ts_ms[0]), int(ts_ms[0]) - 1, 0, 0.0
+            start_us, last_us, n, sv = int(ts_us[0]), int(ts_us[0]) - 1, 0, 0.0
             # last < first so the first event never closes the fresh state
-        for t, v in zip(ts_ms, vals):
-            if n and t - last_ms > gap_ms:  # gap exceeded: close session
-                out.append((start_ms, last_ms, n, sv))
-                start_ms, n, sv = int(t), 0, 0.0
-            last_ms, n, sv = int(t), n + 1, sv + float(v)
-        state.update((start_ms, last_ms, n, sv))
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if n and t < start_us:  # late event from a previous batch
+                if start_us - t <= gap_us:
+                    # inside the open session's reach: extend it backward
+                    start_us, n, sv = t, n + 1, sv + float(v)
+                else:
+                    # predates the open session by more than the gap: a
+                    # session of its own, closed immediately
+                    out.append((t, t, 1, float(v)))
+                continue
+            if n and t - last_us > gap_us:  # gap exceeded: close session
+                out.append((start_us, last_us, n, sv))
+                start_us, n, sv = t, 0, 0.0
+            last_us = max(last_us, t)  # never regress on late arrivals
+            n, sv = n + 1, sv + float(v)
+        state.update((start_us, last_us, n, sv))
         # evict via event-time timeout once the watermark passes the gap
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+        # (timeout API is millisecond-granular: round UP so the timeout
+        # never fires before last_us + gap_us)
+        state.setTimeoutTimestamp(-((last_us + gap_us) // -1_000))
         if out:
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(out),
-                    "session_start": [pd.Timestamp(o[0], unit="ms") for o in out],
-                    "session_end": [pd.Timestamp(o[1], unit="ms") for o in out],
+                    "session_start": [pd.Timestamp(o[0], unit="us") for o in out],
+                    "session_end": [pd.Timestamp(o[1], unit="us") for o in out],
                     "n_events": [o[2] for o in out],
                     "sum_value": [o[3] for o in out],
                 }
@@ -173,12 +203,12 @@ def sessionize(
     anything Spark's built-in windows can't express (per-key FSMs,
     CDC-style upserts, online dedup) slots into the same skeleton.
     """
-    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn(gap_ms),
+            _session_fn(gap_us),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

@@ -57,9 +57,11 @@ def test_streamed_equals_batch(spark, corpus, tmp_path):
 
     from informationretrieval_en_people_cn_spark.functions.codec import decode_frames
 
+    from informationretrieval_en_people_cn_spark.operators.build import IndexPaths
+
     def postings_map(path):
         out = {}
-        rows = spark.read.parquet(f"{path}/index").collect()
+        rows = spark.read.parquet(IndexPaths(path).index).collect()
         acc: dict[str, list] = {}
         for r in rows:
             acc.setdefault(r.term, []).append(r)

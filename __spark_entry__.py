@@ -43,6 +43,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from informationretrieval_en_people_cn_spark.api import ORACLES
+    from informationretrieval_en_people_cn_spark.api import ORACLES, dynamic_oracles
 
-    return {k: v for k, v in ORACLES.items() if v}
+    out = {k: v for k, v in ORACLES.items() if v}
+    # data-dependent oracles (e.g. the stemmed flagship's inlined
+    # (raw token -> stems) mapping) are generated lazily here
+    out.update(dynamic_oracles())
+    return out

@@ -516,6 +516,14 @@ def q_ann_ivf(spark, sf_dir, k: int = 10):
 
 
 def q_media_features(spark, sf_dir):
+    """Multimodal plumbing through the fake decoder, VALUE-CHECKED:
+    the synthetic payloads are SQL-derivable (ASCII sha256 digests), so
+    the DuckDB oracle reconstructs payload sha256, byte counts, and the
+    decoder's feature vector from range(48) alone.  Features are
+    re-quantized to their underlying uint16 lattice (x*65535 is exact
+    for the fake decoder's x = u16/65535 float32 values) so the check
+    is integer-exact instead of float-format-dependent.  Only the REAL
+    media decode (PIL/ffmpeg, absent in this container) remains a stub."""
     from .operators import multimodal as mm
 
     media = mm.synth_media(spark, n=48)
@@ -528,16 +536,24 @@ def q_media_features(spark, sf_dir):
         F.concat_ws(
             ",",
             F.transform(
-                "feature", lambda x: F.round(x.cast("double"), 6).cast("string")
+                "feature",
+                lambda x: F.round(x.cast("double") * 65535)
+                .cast("long")
+                .cast("string"),
             ),
         ).alias("feature_csv"),
     )
 
 
 def q_search_engine_topk(spark, sf_dir):
-    """End-to-end engine path: build the real stemmed+compressed index
-    over the documents table, run a ranked query through the parser +
-    BM25 scorer.  Rows-only check (stemming is not SQL-expressible)."""
+    """End-to-end STEMMED engine path: build the real stemmed+compressed
+    index over the documents table, run a ranked query through the
+    parser + BM25 scorer.  VALUE-CHECKED: DuckDB cannot Porter-stem, but
+    the oracle SQL inlines a driver-side (raw token -> stemmed terms)
+    VALUES mapping produced by the repo's own analyzer over the sf
+    vocabulary (see :func:`dynamic_oracles`) — the same
+    inline-the-constants trick as the LSH hyperplanes / minhash
+    permutation oracles."""
     import tempfile
 
     from .operators.build import build_index
@@ -548,7 +564,8 @@ def q_search_engine_topk(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="irx_")
     build_index(spark, corpus, out, slices=2, salt=2)
     eng = SearchEngine(spark, out)
-    return eng.search("merge window spark", k=10)
+    res = eng.search("merge window spark", k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score_r"))
 
 
 def q_search_engine_topk_unstemmed(spark, sf_dir):
@@ -1067,11 +1084,121 @@ ORACLES["ann_ivf_topk"] = """
     ORDER BY cosine_r DESC, vec_id LIMIT 10
 """
 
+# ---- media oracle: reconstruct the synthetic payloads + fake-decoder
+# features in pure SQL (payloads are ASCII sha256 hexdigests repeated,
+# feature[j] = little-endian uint16 j of sha256(kind || payload))
+_MEDIA_U16 = ", ".join(
+    f"(('0x' || substr(fh, {4 * j + 1}, 2))::INT"
+    f" + 256 * (('0x' || substr(fh, {4 * j + 3}, 2))::INT))::VARCHAR"
+    for j in range(16)  # FEATURE_DIM
+)
+ORACLES["media_features"] = f"""
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             repeat(sha256('42:' || i), CAST(4 + i % 5 AS INT)) AS p
+      FROM range(48) t(i)),
+    f AS (SELECT media_id, kind, sha256(p) AS payload_sha256,
+                 CAST(length(p) AS BIGINT) AS n_bytes,
+                 sha256(kind || p) AS fh
+          FROM m)
+    SELECT media_id, kind, payload_sha256, n_bytes,
+           concat_ws(',', {_MEDIA_U16}) AS feature_csv
+    FROM f
+"""
+
 _PROFILE_VALUES = ", ".join(
     f"('{lang}', '{w}')"
     for lang, words in sorted(pl.LANG_PROFILES.items())
     for w in words
 )
+# ---------------------------------------------------------------------------
+# dynamic oracles: SQL that inlines DATA-dependent constants
+# ---------------------------------------------------------------------------
+
+_DYNAMIC_CACHE: dict[str, dict[str, str]] = {}
+
+
+def dynamic_oracles(sf_dir: str | None = None) -> dict[str, str]:
+    """Oracles whose SQL inlines constants derived from the comparison
+    dataset itself — built lazily at ``oracle_sql()`` time.
+
+    ``search_engine_topk`` (the STEMMED flagship): DuckDB has no offline
+    Porter extension, so the oracle carries a (raw token -> stemmed
+    indexed terms) VALUES mapping computed driver-side by the repo's own
+    analyzer (:func:`..functions.analyze.analyze_text` — ident split +
+    lowercase + Porter + length bound, reference IndexCreator.py:52 ≡
+    SearchEngine.py:180) over the sf dir's full raw-token vocabulary.
+    The SQL then reproduces tokenize→stem→tf→doclen→BM25 exactly.
+    Returns {} if the sf dir is unreadable (the query then degrades to
+    the rows-only check instead of a wrong value check).
+    """
+    import os
+
+    from .functions.analyze import _RAW_TOKEN_RE, analyze_text  # noqa: F401
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if sf_dir in _DYNAMIC_CACHE:
+        return _DYNAMIC_CACHE[sf_dir]
+    try:
+        import duckdb
+
+        raws = [
+            r[0]
+            for r in duckdb.sql(
+                "SELECT DISTINCT unnest(regexp_extract_all(text, "
+                "'[A-Za-z0-9_]+')) AS raw FROM read_parquet("
+                f"'{sf_dir}/documents.parquet')"
+            ).fetchall()
+        ]
+    except Exception:
+        _DYNAMIC_CACHE[sf_dir] = {}
+        return {}
+    entries = []
+    for raw in sorted(raws):
+        terms = analyze_text(raw)  # raw matches [A-Za-z0-9_]+: no quoting
+        if terms:
+            lst = ", ".join(f"'{t}'" for t in terms)
+            entries.append(f"('{raw}', [{lst}])")
+    if not entries:
+        _DYNAMIC_CACHE[sf_dir] = {}
+        return {}
+    qterms = sorted(set(analyze_text("merge window spark")))
+    in_list = ", ".join(f"'{t}'" for t in qterms)
+    sql = f"""
+        WITH map(raw, terms) AS (VALUES {", ".join(entries)}),
+        rawt AS (SELECT doc_id,
+                        unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS raw
+                 FROM documents),
+        toks AS (SELECT doc_id, unnest(m.terms) AS term
+                 FROM rawt JOIN map m USING (raw)),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (SELECT d.doc_id, coalesce(x.doclen, 0) AS doclen
+               FROM documents d LEFT JOIN
+                    (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1) x
+               USING (doc_id)),
+        stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM dl),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id,
+                 ln(1.0 + ((SELECT n FROM stats) - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5))
+                   * (tf.tf * ({_K1} + 1))
+                   / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.doclen
+                                       / (SELECT avgdl FROM stats))) AS s
+          FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+          WHERE tf.term IN ({in_list}))
+        SELECT doc_id, round(sum(s), 6) AS score_r FROM scored
+        GROUP BY doc_id ORDER BY score_r DESC, doc_id LIMIT 10
+    """
+    out = {"search_engine_topk": sql}
+    _DYNAMIC_CACHE[sf_dir] = out
+    return out
+
+
 ORACLES["lang_id"] = f"""
     WITH prof(cand_lang, word) AS (VALUES {_PROFILE_VALUES}),
     toks AS (SELECT doc_id,

@@ -77,14 +77,20 @@ DECODERS = {"image": _fake_decode_features, "audio": _fake_decode_features,
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (tests/bench only)."""
+    """Deterministic synthetic media table (tests/bench only).
+
+    Payload bytes are the ASCII sha256 hexdigest of ``"{seed}:{i}"``
+    repeated — deliberately SQL-derivable (DuckDB's ``sha256`` takes
+    VARCHAR only), so the driver oracle can reconstruct every payload,
+    its sha256, and the fake-decoder features from ``range(n)`` alone.
+    """
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest() * (
-            4 + i % 5
-        )
+        payload = (
+            hashlib.sha256(f"{seed}:{i}".encode()).hexdigest() * (4 + i % 5)
+        ).encode()
         meta = {
             "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
             "width": 64 + i if kind != "audio" else None,

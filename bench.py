@@ -77,9 +77,14 @@ def main() -> None:
     # cached term stats + doclens enable the driver-side fast path for
     # budget-fitting queries (identical results; the distributed plan is
     # the fallback and stays the scale path — tested equal per shape).
+    # cache_content (byte-budget-guarded) additionally answers phrase
+    # verification driver-side, removing the verify-scan job from
+    # phrase / phrase-prefix / OR-with-phrase-leaf shapes.
     # Both strategies are timed: q_* = fast path (the serving numbers),
     # q_*_dist = the distributed plan (the 100 TB plan shape).
-    engine = SearchEngine(spark, out, cache_term_stats=True, cache_doclens=True)
+    engine = SearchEngine(
+        spark, out, cache_term_stats=True, cache_doclens=True, cache_content=True
+    )
     engine_dist = SearchEngine(spark, out, cache_term_stats=True, fast_path=False)
     timings: dict[str, float] = {}
     for name, q in QUERY_SET.items():
@@ -107,6 +112,20 @@ def main() -> None:
     docs = scaled(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
     pl.ngram_jaccard_pairs(docs, n=2, threshold=0.05, max_shingle_df=200).collect()
     timings["ngram_jaccard_capped"] = round(time.time() - t0, 4)
+    # the fully-exact config (no stop-shingle cap) — the oracle-check
+    # configuration, timed so capped-vs-exact stays visible per round
+    t0 = time.time()
+    pl.ngram_jaccard_pairs(docs, n=2, threshold=0.05, max_shingle_df=None).collect()
+    timings["ngram_jaccard_exact"] = round(time.time() - t0, 4)
+    # MinHash production config: fast hash family, hashed band buckets,
+    # max_bucket cap — the at-scale path (the `minhash_pairs` key above
+    # times the md5/exact-bands ORACLE config)
+    t0 = time.time()
+    pl.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, shingle_n=2, threshold=0.3,
+        hash_fn="blake2b", exact_bands=False, max_bucket=1000,
+    ).collect()
+    timings["minhash_pairs_banded"] = round(time.time() - t0, 4)
 
     # ANN quality: recall@10 vs brute force on a CLUSTERED fixture (the
     # driver's embeddings.parquet is uniform random, where any sublinear
@@ -156,6 +175,68 @@ def main() -> None:
         "ann_ivf_recall_at_10": round(len(ivf & exact) / 10, 2),
         "ann_ivf_scan_fraction": round(ivf_scan, 3),
     }
+
+    # distributed block-max pruning on a SKEWED corpus (VERDICT r2 #5):
+    # one rare high-idf term confined to the top 2% of the doc-id range
+    # + four ubiquitous filler terms across 300k docs.  The auto-selected
+    # bucket-grid plan must prune the filler-only buckets AND beat the
+    # exhaustive plan's wall time; results are identical (also asserted
+    # in pytest).
+    n_skew = 300_000
+    hot_lo = int(n_skew * 0.98)
+    skew = spark.range(n_skew).select(
+        SF.col("id").alias("doc_id"),
+        SF.lit("bench").alias("repo"),
+        SF.concat(SF.lit("f"), SF.col("id")).alias("path"),
+        SF.lit("0").alias("commit"),
+        SF.lit("py").alias("lang"),
+        SF.concat(
+            SF.lit("hay straw grass field " * 3),
+            SF.when(SF.col("id") >= hot_lo, SF.lit("needle " * 5)).otherwise(
+                SF.lit("")
+            ),
+        ).alias("content"),
+    ).withColumn("sha256", SF.sha2("content", 256))
+    skew_dir = tempfile.mkdtemp(prefix="ir_skew_")
+    t0 = time.time()
+    build_index(
+        spark, skew, skew_dir, slices=4, salt=8, use_stemmer=False,
+        store_positions=False, store_content=False, sorted_input=True,
+    )
+    skew_build = time.time() - t0
+    q_skew = "needle hay straw grass field"
+    eng_bm = SearchEngine(
+        spark, skew_dir, use_stemmer=False, cache_term_stats=True,
+        fast_path=False,
+        blockmax_min_sumdf=1_000_000,  # auto mode; Σdf here ≈ 1.2M
+    )
+    eng_ex = SearchEngine(
+        spark, skew_dir, use_stemmer=False, cache_term_stats=True,
+        fast_path=False, use_blockmax=False,
+    )
+    bm_runs, ex_runs = [], []
+    bm_res = ex_res = None
+    for _ in range(2):
+        t0 = time.time()
+        bm_res = eng_bm.search(q_skew, k=10).collect()
+        bm_runs.append(time.time() - t0)
+        t0 = time.time()
+        ex_res = eng_ex.search(q_skew, k=10).collect()
+        ex_runs.append(time.time() - t0)
+    extras.update(
+        {
+            "blockmax_skew_docs": n_skew,
+            "blockmax_buckets_scored": eng_bm.last_blockmax["buckets_scored"],
+            "blockmax_buckets_total": eng_bm.last_blockmax["buckets_total"],
+            "blockmax_sec": round(min(bm_runs), 4),
+            "blockmax_exhaustive_sec": round(min(ex_runs), 4),
+            "blockmax_skew_build_sec": round(skew_build, 3),
+            "blockmax_equal": [
+                (r.doc_id, round(r.score, 9)) for r in bm_res
+            ] == [(r.doc_id, round(r.score, 9)) for r in ex_res],
+        }
+    )
+    shutil.rmtree(skew_dir, ignore_errors=True)
 
     total = round(time.time() - t_all, 3)
     print(

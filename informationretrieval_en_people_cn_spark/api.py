@@ -372,7 +372,12 @@ def q_ann_cosine(spark, sf_dir, k: int = 10):
 
 def q_embedding_near_dup(spark, sf_dir, threshold: float = 0.35):
     """Embedding-cosine near-dup pairs (exact method — the complete
-    reference the LSH-blocked scale path is recall-tested against)."""
+    reference the LSH-blocked scale path is recall-tested against).
+
+    NOTE: method="exact" is a crossJoin kept ONLY as this driver-oracle
+    surface; it is NOT the production call — cosine_near_dup_pairs
+    defaults to the LSH-blocked method (recall >=0.9 asserted in
+    pytest), which is the 100 TB path."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = sim.cosine_near_dup_pairs(emb, threshold, method="exact")
     return out.select(

@@ -75,3 +75,68 @@ def embed_documents(
     return dense.select(
         "doc_id", emb.alias("embedding")
     ).filter(F.aggregate("embedding", F.lit(0.0), lambda s, x: s + x * x) > 0)
+
+
+def produce_embeddings(
+    df: DataFrame,
+    weights,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Pandas-UDF embedding PRODUCER — the documented swap-in slot for a
+    real model (sentence-transformers & co.): Arrow batches of text in,
+    ``(doc_id, embedding: array<double>)`` rows out, feeding the same
+    ANN stack (:mod:`similarity`) as :func:`embed_documents`.
+
+    The frozen reference "model" here is a linear map: token-hash
+    counts (``dim_in`` buckets, blake2b) through a fixed weight matrix
+    ``weights`` of shape ``(dim_out, dim_in)``, L2-normalized.  Real
+    weights, real batching — everything a torch/ONNX producer needs
+    except the tensor library.  ``weights`` ships inside the UDF
+    closure; for models beyond a few MB use
+    ``sparkSession.sparkContext.broadcast`` and read ``bc.value`` in
+    the generator instead.
+    """
+    import numpy as np
+
+    w = np.asarray(weights, dtype=np.float64)
+    dim_out, dim_in = w.shape
+    schema = "doc_id long, embedding array<double>"
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def bucket(tok: str) -> int:
+            b = memo.get(tok)
+            if b is None:
+                b = memo[tok] = (
+                    int.from_bytes(
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                    )
+                    % dim_in
+                )
+            return b
+
+        for pdf in batches:
+            out_ids, out_embs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                counts = np.zeros(dim_in)
+                for tok in (text or "").lower().split():
+                    counts[bucket(tok)] += 1.0
+                v = w @ counts
+                n = float(np.linalg.norm(v))
+                if n == 0.0:
+                    continue  # no signal: excluded (cosine undefined)
+                if normalize:
+                    v = v / n
+                out_ids.append(int(doc_id))
+                out_embs.append(v.tolist())
+            yield pd.DataFrame({"doc_id": out_ids, "embedding": out_embs})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)

@@ -432,13 +432,30 @@ class SearchEngine:
             / (F.col("df") + F.lit(0.5))
         )
 
-    def _score_rows(self, rows: DataFrame, stats: DataFrame) -> DataFrame:
-        """Decode + BM25-score index rows -> (doc_id, score)."""
+    def _score_rows(
+        self,
+        rows: DataFrame,
+        stats: DataFrame,
+        doc_range: tuple[int, int] | None = None,
+    ) -> DataFrame:
+        """Decode + BM25-score index rows -> (doc_id, score).
+
+        ``doc_range=(lo, hi)`` prunes the doclen side of the join to
+        that doc_id window — the docs table is doc_id-range-partitioned
+        and sorted, so the filter becomes parquet min/max file pruning
+        (the block-max plan scores 1-of-N buckets; scanning ALL doclens
+        for it would dwarf the decode it saved)."""
         k1, b = self.k1, self.b
         decoded = decode_postings_df(rows)
+        doclens = self.docs.select("doc_id", "doclen")
+        if doc_range is not None:
+            doclens = doclens.filter(
+                (F.col("doc_id") >= doc_range[0])
+                & (F.col("doc_id") <= doc_range[1])
+            )
         scored = (
             decoded.join(F.broadcast(stats), "term")
-            .join(self.docs.select("doc_id", "doclen"), "doc_id")
+            .join(doclens, "doc_id")
             .withColumn(
                 "s",
                 self._idf_expr()
@@ -500,32 +517,59 @@ class SearchEngine:
         rowub = (
             self._idf_expr() * (maxtf * (k1 + 1)) / (maxtf + k1 * (1 - b))
         )
+        last_doc = F.element_at(F.col("blocks"), -1)["last_doc"]
         bucket_ubs = (
-            rows.select("term", "bucket", "blocks")  # index df col would
-            .join(F.broadcast(stats), "term")        # shadow stats.df
-            .select("bucket", rowub.alias("ub"))
+            rows.select("term", "bucket", "blocks", "first_doc")  # index df
+            .join(F.broadcast(stats), "term")       # col would shadow stats.df
+            .select(
+                "bucket",
+                rowub.alias("ub"),
+                F.col("first_doc").alias("lo"),
+                last_doc.alias("hi"),
+            )
             .groupBy("bucket")
-            .agg(F.sum("ub").alias("ub"))
+            .agg(
+                F.sum("ub").alias("ub"),
+                F.min("lo").alias("lo"),   # bucket = contiguous doc range:
+                F.max("hi").alias("hi"),   # lo/hi bound every posting in it
+            )
             .collect()
         )
         if not bucket_ubs:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        best = max(bucket_ubs, key=lambda r: r.ub).bucket
+        best_row = max(bucket_ubs, key=lambda r: r.ub)
+        best = best_row.bucket
         probe = (
-            self._score_rows(rows.filter(F.col("bucket") == best), stats)
+            self._score_rows(
+                rows.filter(F.col("bucket") == best),
+                stats,
+                doc_range=(int(best_row.lo), int(best_row.hi)),
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .collect()
         )
         theta = probe[-1].score if len(probe) == k else -math.inf
-        survivors = [int(r.bucket) for r in bucket_ubs if r.ub >= theta]
+        surv = [r for r in bucket_ubs if r.ub >= theta]
         self.last_blockmax = {
             "buckets_total": len(bucket_ubs),
-            "buckets_scored": len(survivors),
+            "buckets_scored": len(surv),
             "theta": theta,
         }
+        if len(probe) == k and all(r.bucket == best for r in surv):
+            # the probe bucket is the only survivor: its top-k IS the
+            # answer — skip the redundant final scoring job
+            return self.spark.createDataFrame(
+                [(int(r.doc_id), float(r.score)) for r in probe],
+                "doc_id long, score double",
+            )
         final = self._score_rows(
-            rows.filter(F.col("bucket").isin(survivors)), stats
+            rows.filter(F.col("bucket").isin([int(r.bucket) for r in surv])),
+            stats,
+            doc_range=(
+                min(int(r.lo) for r in surv),
+                max(int(r.hi) for r in surv),
+            ),
         )
         return final.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

@@ -10,8 +10,8 @@ Usage:  python BENCH/scaling.py 8   # prints one JSON line
 
 The workload is the full build path (tokenize+stem pandas UDF → salted
 posting merge → varbyte encode → parquet write) over the sf0.1
-documents table replicated ×10 (50k docs) so compute, not job-setup
-overhead, dominates.
+documents table replicated ×240 (1.2M docs × ~6 KB) so compute, not
+job-setup overhead, dominates.
 """
 
 from __future__ import annotations
@@ -27,7 +27,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICATE = int(os.environ.get("SCALING_REPLICATE", "40"))
+# 240 × 5000 = 1.2M docs (~7 GB of content): large enough that the
+# tokenize/encode compute dominates the build's fixed-cost stages
+# (merge commit, docs/stats writes, job scheduling ≈ 6-8 s, core-count-
+# independent).  Measured medians by corpus size (BENCH/BASELINE.md
+# round-3 tables): 200k docs → speedup ~1.9 (fixed costs are ~half the
+# local[32] wall), 600k → ~2.35, 1.2M → ~2.76 / vs-ceiling 1.03 — the
+# efficiency keeps rising with input size exactly as the amortization
+# argument predicts, so measure in the amortized regime a real 100 TB
+# job lives in.
+REPLICATE = int(os.environ.get("SCALING_REPLICATE", "240"))
 # testdata docs are ~160 bytes; real source files are KBs.  Repeat the
 # content so per-doc compute is realistic and the measurement is
 # compute-bound, not job-overhead-bound.
@@ -109,11 +118,15 @@ def run_one(cpus: int) -> dict:
         # substring-verifies).  sorted_input=True: the source files are
         # doc_id-sorted and split per-file (see the knobs above), so
         # stage A tokenizes straight off the scan — no shuffle in the
-        # timed path; salt=16 / index_files=cpus keep the merge and the
-        # writes at the cluster's parallelism too.
+        # timed path; salt=2×cpus / index_files=cpus keep the merge and
+        # the writes at the cluster's parallelism too (slices×salt merge
+        # buckets = 4 waves at either level — a real 4N cluster would
+        # configure 4N merge groups, so a fixed bucket count would
+        # starve the larger level into one straggler-bound wave).
         build_index(spark, corpus, out,
                     slices=int(os.environ.get("SCALING_SLICES", "2")),
-                    salt=16, store_positions=False, sorted_input=True,
+                    salt=int(os.environ.get("SCALING_SALT", str(2 * cpus))),
+                    store_positions=False, sorted_input=True,
                     store_content=False, index_files=cpus)
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
@@ -171,8 +184,14 @@ def calibrate_one(n: int) -> float:
     cmd = [sys.executable, "-c", _CALIBRATE_SNIPPET, str(n)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-    return float(out.stdout.strip().splitlines()[-1])
+    # best-of-2, symmetric with the build's min-of-reps: a single
+    # bad-weather calibration shot would poison the window's ceiling
+    # even when both builds and the other level's calibration were quiet
+    best = 0.0
+    for _ in range(int(os.environ.get("SCALING_CAL_REPS", "2"))):
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        best = max(best, float(out.stdout.strip().splitlines()[-1]))
+    return best
 
 
 def _build_one(cpus: int, env: dict) -> dict:
@@ -202,7 +221,10 @@ def main():
 
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "24g")
-    env.setdefault("SCALING_REPS", "1")
+    # min-of-2 per level inside each window: suppresses single-shot host
+    # noise without stretching the window so far that the interleaved
+    # calibration no longer shares its weather
+    env.setdefault("SCALING_REPS", "2")
     windows = int(os.environ.get("SCALING_WINDOWS", "4"))
     rows = []
     for w in range(windows):

@@ -263,6 +263,19 @@ def q_phrase_positional(spark, sf_dir):
     return eng.phrase_docids_positional(PHRASE)
 
 
+def q_phrase_prefix_positional(spark, sf_dir):
+    """Positional phrase-prefix ('value ta*' as TOKEN sequence): docs
+    whose analyzed token sequence has 'value' immediately followed by a
+    token starting with 'ta' — matched on the stored position lists
+    with dictionary prefix expansion + bucket-pruned decode (the
+    positional variant the reference lacks; its Q4 substring-verifies,
+    SearchEngine.py:169-172,202).  Unstemmed for the oracle."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(spark, _unstemmed_index(spark, sf_dir), use_stemmer=False)
+    return eng.phrase_prefix_docids_positional("value", "ta")
+
+
 def q_phrase_prefix_search(spark, sf_dir):
     """Q4 phrase-prefix leaf ('value ta'*) through the engine: rarest-
     term candidates + literal substring 'value ta' verify (reference
@@ -602,6 +615,7 @@ QUERIES = {
     "phrase": q_phrase,
     "phrase_positional": q_phrase_positional,
     "phrase_prefix_search": q_phrase_prefix_search,
+    "phrase_prefix_positional": q_phrase_prefix_positional,
     "stopterm_ranked": q_stopterm_ranked,
     "collection_stats": q_collection_stats,
     "id_lookup": q_id_lookup,
@@ -685,6 +699,16 @@ ORACLES = {
         SELECT doc_id FROM t
         WHERE len(list_filter(range(1, len(tl)),
                   i -> tl[i] = 'value' AND tl[i + 1] = 'table')) > 0
+    """,
+    # positional Q4: 'value' immediately followed in the TOKEN sequence
+    # by a token starting with 'ta' (dictionary prefix expansion —
+    # every doc token is in the vocabulary, so next-token LIKE 'ta%'
+    # is exactly the engine's expand_prefix ∪-positions semantics)
+    "phrase_prefix_positional": f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tl FROM documents)
+        SELECT doc_id FROM t
+        WHERE len(list_filter(range(1, len(tl)),
+                  i -> tl[i] = 'value' AND tl[i + 1] LIKE 'ta%')) > 0
     """,
     # Q4: candidates hold the phrase token(s), verified by the literal
     # substring "phrase suffix" (reference semantics — NOT token-prefix)

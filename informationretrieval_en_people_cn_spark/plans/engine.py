@@ -256,24 +256,11 @@ class SearchEngine:
         )
         return verified.select("doc_id")
 
-    def phrase_docids_positional(self, phrase: str) -> DataFrame:
-        """TRUE positional phrase matching from the stored position
-        lists — the capability the reference indexes for but never uses
-        (positions stored at IndexCreator.py:95-99; verification falls
-        back to substring at SearchEngine.py:201-207).
-
-        Semantics: the doc's analyzed term sequence contains the
-        phrase's analyzed term sequence contiguously.  Plan: decode the
-        k phrase terms' postings WITH positions → shuffle by doc_id →
-        per-doc numpy adjacency check (positions of term i+1 must
-        contain p+1 for some surviving p of term i).
-        """
+    def _decode_positional(self, rows: DataFrame) -> DataFrame:
+        """Decode encoded index rows to (term, doc_id, positions) rows
+        (Arrow-batched mapInPandas; raises if the index was built
+        without ``store_positions=True``)."""
         import pandas as pd
-
-        terms = self._q(phrase)
-        if not terms:
-            return self.docs.limit(0).select("doc_id")
-        rows = self.index.filter(F.col("term").isin(list(set(terms))))
 
         dec_schema = T.StructType(
             [
@@ -303,7 +290,27 @@ class SearchEngine:
                     {"term": out_t, "doc_id": out_d, "positions": out_p}
                 )
 
-        decoded = rows.select("term", "postings").mapInPandas(dec, dec_schema)
+        return rows.select("term", "postings").mapInPandas(dec, dec_schema)
+
+    def phrase_docids_positional(self, phrase: str) -> DataFrame:
+        """TRUE positional phrase matching from the stored position
+        lists — the capability the reference indexes for but never uses
+        (positions stored at IndexCreator.py:95-99; verification falls
+        back to substring at SearchEngine.py:201-207).
+
+        Semantics: the doc's analyzed term sequence contains the
+        phrase's analyzed term sequence contiguously.  Plan: decode the
+        k phrase terms' postings WITH positions → shuffle by doc_id →
+        per-doc numpy adjacency check (positions of term i+1 must
+        contain p+1 for some surviving p of term i).
+        """
+        import pandas as pd
+
+        terms = self._q(phrase)
+        if not terms:
+            return self.docs.limit(0).select("doc_id")
+        rows = self.index.filter(F.col("term").isin(list(set(terms))))
+        decoded = self._decode_positional(rows)
 
         seq = terms  # phrase term order (duplicates allowed)
         out_schema = T.StructType([T.StructField("doc_id", T.LongType(), False)])
@@ -326,6 +333,90 @@ class SearchEngine:
             if cur.size:
                 return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])]})
             return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+
+        return decoded.groupBy("doc_id").applyInPandas(verify, out_schema)
+
+    def phrase_prefix_docids_positional(self, phrase: str, suffix: str) -> DataFrame:
+        """Positional phrase-prefix (Q4's positional variant): the doc's
+        analyzed term sequence contains the phrase terms contiguously,
+        immediately followed by a term starting with ``suffix``.  The
+        reference never has this — its Q4 substring-verifies the literal
+        text (SearchEngine.py:169-172,202); this matches on the stored
+        position lists like :meth:`phrase_docids_positional`.
+
+        Plan: expand the suffix over the term dictionary (zero jobs with
+        cached stats — the reference's DAWG ``keys(prefix)``,
+        SearchEngine.py:210); prune the expansion's ENCODED index rows
+        to the doc-range buckets where the rarest phrase term occurs
+        (broadcast semi-join on the bucket column — bucket is a pure
+        function of doc_id, so a doc can only match where its phrase
+        postings live; losing buckets are never decoded, the same grid
+        the block-max plan prunes on); decode survivors with positions;
+        per-doc adjacency check with the final slot satisfied by ANY
+        expansion term.
+        """
+        import pandas as pd
+
+        terms = self._q(phrase)
+        if not terms:
+            return self.prefix_docids(suffix)
+        suffix_terms = self.expand_prefix(suffix)
+        if not suffix_terms:
+            return self.docs.limit(0).select("doc_id")
+        tset = sorted(set(terms))
+        if self.term_stats is not None:  # driver-side planning, zero jobs
+            if any(t not in self.term_stats for t in tset):
+                return self.docs.limit(0).select("doc_id")
+            rare = min(tset, key=lambda t: self.term_stats[t][0])
+        else:
+            stats = (
+                self.index.filter(F.col("term").isin(tset))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .orderBy("df")
+                .limit(1)
+                .collect()
+            )
+            if not stats:
+                return self.docs.limit(0).select("doc_id")
+            rare = stats[0].term
+        phrase_rows = self.index.filter(F.col("term").isin(tset))
+        rare_buckets = (
+            self.index.filter(F.col("term") == rare).select("bucket").distinct()
+        )
+        extra = [t for t in suffix_terms if t not in set(tset)]
+        sfx_rows = self.index.filter(F.col("term").isin(extra)).join(
+            F.broadcast(rare_buckets), "bucket", "left_semi"
+        )
+        decoded = self._decode_positional(phrase_rows.unionByName(sfx_rows))
+
+        seq = terms
+        k = len(seq)
+        sfx_set = frozenset(suffix_terms)
+        out_schema = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+
+        def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+            by_term: dict[str, np.ndarray] = {}
+            for term, plist in zip(pdf["term"], pdf["positions"]):
+                arr = np.asarray(plist, dtype=np.int64)
+                by_term[term] = (
+                    np.union1d(by_term[term], arr) if term in by_term else arr
+                )
+            if any(t not in by_term for t in seq):
+                return empty
+            cur = by_term[seq[0]]
+            for i, t in enumerate(seq[1:], start=1):
+                cur = cur[np.isin(cur + i, by_term[t])]
+                if cur.size == 0:
+                    return empty
+            sfx_pos = [by_term[t] for t in sfx_set if t in by_term]
+            if not sfx_pos:
+                return empty
+            cur = cur[np.isin(cur + k, np.concatenate(sfx_pos))]
+            if cur.size:
+                return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])]})
+            return empty
 
         return decoded.groupBy("doc_id").applyInPandas(verify, out_schema)
 

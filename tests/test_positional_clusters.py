@@ -24,6 +24,36 @@ def test_positional_phrase_matches_token_oracle(engine, corpus_pdf):
         assert got == gold, phrase
 
 
+def test_positional_phrase_prefix_matches_token_oracle(engine, corpus_pdf):
+    from informationretrieval_en_people_cn_spark.functions.analyze import analyze_text
+
+    for phrase, sfx in [("posting", "me"), ("return", "va"), ("token", "st")]:
+        seq = analyze_text(phrase)
+        k = len(seq)
+
+        def matches(terms):
+            return any(
+                terms[i : i + k] == seq and terms[i + k].startswith(sfx)
+                for i in range(len(terms) - k)
+            )
+
+        gold = {
+            r.doc_id
+            for r in corpus_pdf.itertuples()
+            if matches(analyze_text(r.content))
+        }
+        got = {
+            r.doc_id
+            for r in engine.phrase_prefix_docids_positional(phrase, sfx).collect()
+        }
+        assert got == gold, (phrase, sfx)
+        assert gold, (phrase, sfx)  # fixture corpus must exercise the op
+
+
+def test_positional_phrase_prefix_empty_expansion(engine):
+    assert engine.phrase_prefix_docids_positional("posting", "zzqx").count() == 0
+
+
 def test_positional_errors_without_positions(spark, corpus, tmp_path):
     from informationretrieval_en_people_cn_spark.operators.build import build_index
     from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine

@@ -354,6 +354,39 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+# deterministic stratified-sample config shared by the Spark query and
+# the oracle: per-stratum integer thresholds floor(frac * 2^60) computed
+# ONCE here so both sides compare the identical literals
+SAMPLE_SEED = 7
+SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25, "fr": 0.1}  # de/es dropped
+SAMPLE_THRESHOLDS = {s: int(f * (1 << 60)) for s, f in SAMPLE_FRACTIONS.items()}
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination sweep: every 29th doc plays the held-out
+    benchmark; flag corpus docs sharing any distinct 5-token n-gram
+    with it (broadcast bench grams -> map-side probe -> per-doc hit
+    counts)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    return pl.decontaminate(docs, bench, n=5)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Domain-mixing sample: keep 50% of en / 25% of zh / 10% of fr,
+    drop de+es — membership a pure integer-compare function of
+    (doc_id, seed), bit-reproducible under any partitioning (md5
+    family for the oracle; xxhash64 is the production default)."""
+    out = pl.stratified_sample(
+        _docs(spark, sf_dir),
+        SAMPLE_FRACTIONS,
+        strata_col="lang",
+        seed=SAMPLE_SEED,
+        hash_fn="md5",
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_normalize(spark, sf_dir):
     """P2+P3 ingest normalization (newline scrub + CJK punct fold)."""
     from .functions.analyze import normalize_expr
@@ -623,6 +656,8 @@ QUERIES = {
     "ingest_sha256": q_ingest_sha256,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
     "quality_features": q_quality,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
@@ -782,6 +817,34 @@ ORACLES = {
         JOIN sz sa ON sa.doc_id = doc_a
         JOIN sz sb ON sb.doc_id = doc_b
         WHERE i / (sa.sz + sb.sz - i) >= 0.05
+    """,
+    # eval-set decontamination: distinct 5-token grams of the benchmark
+    # (every 29th doc), per-doc count of distinct contaminated grams
+    "decontaminate": f"""
+        WITH toks AS (
+          SELECT doc_id, {_SQL_TOKS} AS tl FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, sg FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tl) - 3),
+                          i -> array_to_string(tl[i : i + 4], ' '))) AS sg
+            FROM toks WHERE len(tl) >= 5)),
+        bg AS (SELECT DISTINCT sg FROM sh WHERE doc_id % 29 = 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS bench_hits
+        FROM sh JOIN bg USING (sg)
+        GROUP BY 1
+    """,
+    # stratified sample: keep iff md5-60bit(doc_id|seed) < the SAME
+    # integer thresholds the Spark side compares (floor(frac*2^60)) —
+    # no float boundary can disagree
+    "stratified_sample": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|{SAMPLE_SEED}'), 1, 15))::BIGINT
+              < CASE lang
+                  WHEN 'en' THEN {SAMPLE_THRESHOLDS['en']}
+                  WHEN 'zh' THEN {SAMPLE_THRESHOLDS['zh']}
+                  WHEN 'fr' THEN {SAMPLE_THRESHOLDS['fr']}
+                  ELSE 0 END
     """,
     # quality features run on UNFILTERED tokens (raw-text quality, no
     # index length bound) — mirror that here with the bare regex.

@@ -654,3 +654,109 @@ def doc_fingerprints(
         F.col(id_col).alias("doc_id"),
         F.slice(hashes, 1, keep).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    min_hits: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Flag training docs that share token ``n``-grams with an
+    evaluation benchmark — the standard eval-contamination sweep a
+    training-data pipeline runs before every mix (the reference has no
+    analogue; its crawler dedups by post id only,
+    crawler/spiders/people_spider.py:58,68).
+
+    Returns ``(doc_id, bench_hits)`` for docs with ≥ ``min_hits``
+    DISTINCT contaminated n-grams (shingles are per-doc distinct).
+
+    Scale posture (100 TB corpus, benchmark ≪ corpus): the benchmark
+    side collapses to its distinct n-gram set and is broadcast, so the
+    probe is a map-side hash join on the exploded doc shingles — no
+    shuffle of corpus-sized data; the only shuffled rows are the
+    per-doc partial hit counts (map-side combined), i.e. ≤ one row per
+    contaminated doc.  Set ``broadcast_bench=False`` for a benchmark
+    too large to broadcast (falls back to a shuffle join on the gram).
+    """
+    grams = (
+        bench.select(F.explode(shingles_expr(F.col(bench_text_col), n)).alias("gram"))
+        .distinct()
+    )
+    if broadcast_bench:
+        grams = F.broadcast(grams)
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_expr(F.col(text_col), n)).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("bench_hits"))
+    )
+    return hits.filter(F.col("bench_hits") >= min_hits)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample — the domain-mixing
+    primitive (keep 30% of lang A, 5% of lang B, ...).
+
+    Membership is a pure function of (key, seed): a row is kept iff
+    ``hash(key, seed) < floor(frac[stratum] · 2^bits)`` — an INTEGER
+    comparison, so the sample is bit-reproducible across runs, Spark
+    versions, partitionings, and the DuckDB oracle (no float
+    boundaries).  Unlike ``DataFrame.sample``/``sampleBy`` (seeded
+    per-partition, so the sample CHANGES under repartitioning), this
+    survives any layout — the property that matters when a 100 TB mix
+    must be re-derivable months later.
+
+    Scale posture: a narrow ``filter`` — no shuffle, no UDF; strata
+    absent from ``fractions`` are dropped (fraction 0.0).
+
+    ``hash_fn``: ``"xxhash64"`` (production; 63-bit via unsigned
+    shift) or ``"md5"`` (60-bit hex prefix — the DuckDB-replicable
+    family, same convention as minhash/simhash/fingerprints).
+    """
+    key = F.col(key_col).cast("string")
+    if hash_fn == "xxhash64":
+        bits = 63
+        h = F.shiftrightunsigned(F.xxhash64(key, F.lit(seed)), 1)
+    elif hash_fn == "md5":
+        bits = 60
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", key, F.lit(str(seed)))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    # keep iff h < floor(frac·2^bits), phrased as h <= floor(...)-1 so
+    # frac=1.0 (threshold 2^63) never overflows the Long literal
+    thresholds = {s: int(frac * (1 << bits)) - 1 for s, frac in fractions.items()}
+    thr_map = F.create_map(
+        *[F.lit(x) for kv in thresholds.items() for x in kv]
+    )
+    return df.filter(h <= F.coalesce(thr_map[F.col(strata_col)], F.lit(-1)))

@@ -333,3 +333,57 @@ def test_snapshot_pointer_keeps_concurrent_readers_alive(spark, corpus, tmp_path
 
     assert not os.path.exists(os.path.join(out, "index"))
     assert os.path.exists(os.path.join(out, "index_v1"))
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from informationretrieval_en_people_cn_spark.operators.pipeline import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "noise words then alpha beta gamma delta epsilon appears here"),  # 5-gram hit
+        (2, "only alpha beta gamma delta overlap of four tokens here today"),  # 4-gram: miss
+        (3, "completely unrelated content about spark partitions and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    got = {r.doc_id: r.bench_hits for r in decontaminate(docs, bench, n=5).collect()}
+    assert got == {1: 1}
+
+    # n=4 catches doc 2 as well (two distinct contaminated 4-grams in doc 1)
+    got4 = {r.doc_id: r.bench_hits for r in decontaminate(docs, bench, n=4).collect()}
+    assert got4 == {1: 2, 2: 1}
+
+
+def test_stratified_sample_deterministic_under_repartition(spark):
+    from informationretrieval_en_people_cn_spark.operators.pipeline import (
+        stratified_sample,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("grp"),
+    )
+    fr = {"a": 0.5, "b": 0.1}
+    for hash_fn in ("xxhash64", "md5"):
+        base = {
+            r.doc_id
+            for r in stratified_sample(
+                df, fr, strata_col="grp", hash_fn=hash_fn
+            ).collect()
+        }
+        shuffled = {
+            r.doc_id
+            for r in stratified_sample(
+                df.repartition(13), fr, strata_col="grp", hash_fn=hash_fn
+            ).collect()
+        }
+        assert base == shuffled  # membership is layout-independent
+        n_a = sum(1 for d in base if d % 2 == 0)
+        n_b = len(base) - n_a
+        assert abs(n_a - 1000) < 150, (hash_fn, n_a)  # ~frac within Bernoulli noise
+        assert abs(n_b - 200) < 90, (hash_fn, n_b)
+
+    # strata without a configured fraction are dropped entirely
+    only_a = stratified_sample(df, {"a": 1.0}, strata_col="grp")
+    assert only_a.filter(F.col("grp") == "b").count() == 0
+    assert only_a.count() == 2000

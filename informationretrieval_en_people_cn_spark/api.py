@@ -447,6 +447,22 @@ def q_embed_cosine_topk(spark, sf_dir, k: int = 10):
     ).withColumnsRenamed({"vec_id": "doc_id", "cosine": "cosine_r"})
 
 
+def q_embed_tfidf_cosine_topk(spark, sf_dir, k: int = 10):
+    """FITTED embeddings end-to-end: the hashed projection weighted by
+    smoothed idf learned from this corpus (the statistical-fit analogue
+    of the reference's Doc2Vec training, Doc2Vec.py:41-49), query = the
+    smallest doc_id's vector, exact cosine top-k."""
+    from .operators.embed import embed_documents
+
+    emb = embed_documents(_docs(spark, sf_dir), dim=64, weighting="tfidf")
+    qrow = emb.orderBy("doc_id").limit(1).collect()[0]
+    qvec = [float(x) for x in qrow.embedding]
+    pool = emb.filter(F.col("doc_id") != int(qrow.doc_id))
+    return sim.cosine_topk(
+        pool, qvec, k, vec_col="embedding", id_col="doc_id"
+    ).withColumnsRenamed({"vec_id": "doc_id", "cosine": "cosine_r"})
+
+
 def q_events_window(spark, sf_dir):
     """Event-time tumbling-window aggregation (the Structured-Streaming
     agg shape, run in batch: identical plan under readStream)."""
@@ -663,6 +679,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "ann_cosine_topk": q_ann_cosine,
     "embed_cosine_topk": q_embed_cosine_topk,
+    "embed_tfidf_cosine_topk": q_embed_tfidf_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -901,6 +918,36 @@ ORACLES = {
         comp AS (SELECT doc_id, hv % 64 AS bucket,
                         CASE WHEN hv % 128 < 64 THEN 1.0 ELSE -1.0 END AS sgn
                  FROM h),
+        vec AS (SELECT doc_id, bucket, sum(sgn) AS v FROM comp GROUP BY 1, 2),
+        nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM vec
+                GROUP BY 1 HAVING sum(v * v) > 0),
+        q AS (SELECT min(doc_id) AS qid FROM nrm),
+        qv AS (SELECT bucket, v FROM vec WHERE doc_id = (SELECT qid FROM q)),
+        qn AS (SELECT n FROM nrm WHERE doc_id = (SELECT qid FROM q)),
+        dot AS (SELECT a.doc_id, sum(a.v * qv.v) AS d
+                FROM vec a JOIN qv USING (bucket)
+                GROUP BY 1)
+        SELECT nrm.doc_id,
+               round(coalesce(dot.d, 0) / (nrm.n * (SELECT n FROM qn)), 6)
+                 AS cosine_r
+        FROM nrm LEFT JOIN dot USING (doc_id)
+        WHERE nrm.doc_id <> (SELECT qid FROM q)
+        ORDER BY cosine_r DESC, doc_id LIMIT 10
+    """,
+    # same projection with the corpus-FITTED smoothed-idf weight
+    # ln((1+N)/(1+df))+1 applied per token instance
+    "embed_tfidf_cosine_topk": f"""
+        WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents),
+        st AS (SELECT count(*) AS n FROM documents),
+        dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        h AS (SELECT doc_id, t,
+                     CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+              FROM toks),
+        comp AS (SELECT doc_id, hv % 64 AS bucket,
+                        (CASE WHEN hv % 128 < 64 THEN 1.0 ELSE -1.0 END)
+                        * (ln((1.0 + (SELECT n FROM st)) / (dfreq.df + 1.0))
+                           + 1.0) AS sgn
+                 FROM h JOIN dfreq USING (t)),
         vec AS (SELECT doc_id, bucket, sum(sgn) AS v FROM comp GROUP BY 1, 2),
         nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM vec
                 GROUP BY 1 HAVING sum(v * v) > 0),

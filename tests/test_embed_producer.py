@@ -80,3 +80,77 @@ def test_ann_stack_over_producer_vectors(spark, produced):
     cells = [int(c) for c in np.argsort(d)[:3]]
     scan = assigned.filter(F.col("cell").isin(cells)).count() / n_pool
     assert scan <= 0.5
+
+
+@pytest.fixture(scope="module")
+def topic_docs(spark):
+    """10 topics × 30 docs from disjoint vocabularies (same geometry as
+    the producer fixture, reused for the TRAINED model)."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for topic in range(10):
+        vocab = [f"w{topic}_{j}" for j in range(30)]
+        for d in range(30):
+            words = [rng.choice(vocab) for _ in range(40)]
+            rows.append((topic * 30 + d, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_lsa_trained_embeddings_cluster_by_topic(spark, topic_docs):
+    from informationretrieval_en_people_cn_spark.operators.embed import (
+        lsa_embeddings,
+        train_lsa_model,
+    )
+
+    model = train_lsa_model(topic_docs, dim=16, vocab_size=400, sample_docs=300)
+    assert len(model["terms"]) == 300  # 10 topics × 30 disjoint words
+    emb = {r.doc_id: np.asarray(r.embedding) for r in
+           lsa_embeddings(topic_docs, model).collect()}
+    assert len(emb) == 300
+    for v in list(emb.values())[:5]:
+        assert np.linalg.norm(v) == pytest.approx(1.0)
+    # top-1 neighbor shares the query's topic for every probe doc
+    ids = sorted(emb)
+    mat = np.stack([emb[i] for i in ids])
+    for probe in (0, 31, 155, 299):
+        sims = mat @ emb[probe]
+        sims[ids.index(probe)] = -2.0
+        assert ids[int(np.argmax(sims))] // 30 == probe // 30
+
+
+def test_lsa_model_fit_is_deterministic(spark, topic_docs):
+    from informationretrieval_en_people_cn_spark.operators.embed import (
+        train_lsa_model,
+    )
+
+    m1 = train_lsa_model(topic_docs, dim=8, vocab_size=100, sample_docs=120)
+    m2 = train_lsa_model(
+        topic_docs.repartition(7), dim=8, vocab_size=100, sample_docs=120
+    )
+    assert m1["terms"] == m2["terms"]
+    assert np.array_equal(m1["vectors"], m2["vectors"])
+    assert np.array_equal(m1["idf"], m2["idf"])
+
+
+def test_embed_tfidf_weighting_downweights_common_terms(spark):
+    from informationretrieval_en_people_cn_spark.operators.embed import (
+        embed_documents,
+    )
+
+    # 'common' is in every doc (idf floor), 'rare*' in one each: under
+    # tf-idf the rare-term distinction must dominate the shared term
+    rows = [(i, f"common common common rare{i} rare{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = {r.doc_id: np.asarray(r.embedding) for r in
+           embed_documents(docs, dim=32, weighting="tfidf").collect()}
+    assert len(emb) == 20
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    sims = [cos(emb[0], emb[j]) for j in range(1, 20)]
+    # under count weighting the shared 3×'common' mass dominates (cos
+    # ~0.69); fitted idf must push cross-doc similarity well below that
+    assert max(sims) < 0.5

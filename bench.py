@@ -126,6 +126,19 @@ def main() -> None:
         hash_fn="blake2b", exact_bands=False, max_bucket=1000,
     ).collect()
     timings["minhash_pairs_banded"] = round(time.time() - t0, 4)
+    # eval-set decontamination sweep (every 29th doc = the benchmark;
+    # broadcast n-gram probe) and the deterministic stratified sample
+    # (production xxhash64 family) at the same SF
+    from pyspark.sql import functions as PF
+
+    t0 = time.time()
+    pl.decontaminate(docs, docs.filter(PF.col("doc_id") % 29 == 0), n=5).collect()
+    timings["decontaminate"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    pl.stratified_sample(
+        docs, {"en": 0.5, "zh": 0.25, "fr": 0.1}, strata_col="lang"
+    ).collect()
+    timings["stratified_sample"] = round(time.time() - t0, 4)
 
     # ANN quality: recall@10 vs brute force on a CLUSTERED fixture (the
     # driver's embeddings.parquet is uniform random, where any sublinear

@@ -228,9 +228,12 @@ def train_lsa_model(
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .limit(sample_docs)
     )
+    # vocab restriction via broadcast semi-join, not a vocab_size-long
+    # IN-list (which would bloat the plan and defeat codegen at V=10^5)
+    vocab_df = df.sparkSession.createDataFrame([(t,) for t in terms], "t string")
     triples = (
         toks.join(F.broadcast(sample), "doc_id")
-        .filter(F.col("t").isin(terms))
+        .join(F.broadcast(vocab_df), "t", "left_semi")
         .groupBy("t", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
         .collect()

@@ -759,4 +759,8 @@ def stratified_sample(
     thr_map = F.create_map(
         *[F.lit(x) for kv in thresholds.items() for x in kv]
     )
-    return df.filter(h <= F.coalesce(thr_map[F.col(strata_col)], F.lit(-1)))
+    # cast the stratum to string so non-string strata (int buckets,
+    # dates) match the string-keyed fractions dict instead of silently
+    # null-ing out of the map
+    stratum = F.col(strata_col).cast("string")
+    return df.filter(h <= F.coalesce(thr_map[stratum], F.lit(-1)))

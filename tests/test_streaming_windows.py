@@ -164,3 +164,68 @@ def test_streaming_sessionize_equals_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_dedup_stream_emits_first_seen_per_content(spark, tmp_path):
+    from informationretrieval_en_people_cn_spark.streaming.windows import dedup_stream
+
+    in_dir, ckpt = str(tmp_path / "docs_in"), str(tmp_path / "ckpt_dd")
+    schema = "doc_id long, ts timestamp, text string"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    t0 = BASE
+    # batch 1: A twice (same micro-batch), B once
+    write([
+        (1, t0, "content A"),
+        (2, t0 + dt.timedelta(minutes=1), "content A"),
+        (3, t0 + dt.timedelta(minutes=2), "content B"),
+    ])
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    updates = []
+
+    def handle(batch_df, batch_id):
+        updates.extend(batch_df.collect())
+
+    q = (
+        dedup_stream(stream, watermark="30 minutes")
+        .writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.text for r in updates) == ["content A", "content B"]
+
+    # batch 2 (same checkpoint → same state): A again inside the
+    # horizon (suppressed) + new C (emitted)
+    write([
+        (4, t0 + dt.timedelta(minutes=5), "content A"),
+        (5, t0 + dt.timedelta(minutes=6), "content C"),
+    ])
+    stream2 = spark.readStream.schema(schema).parquet(in_dir)
+    updates2 = []
+
+    def handle2(batch_df, batch_id):
+        updates2.extend(batch_df.collect())
+
+    q2 = (
+        dedup_stream(stream2, watermark="30 minutes")
+        .writeStream.foreachBatch(handle2)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert sorted(r.text for r in updates2) == ["content C"]
+
+    # streamed result ≡ the batch twin's content set
+    from informationretrieval_en_people_cn_spark.operators.pipeline import exact_dedup
+
+    batch = exact_dedup(spark.read.parquet(in_dir))
+    assert {r.content_sha256 for r in batch.collect()} == {
+        r.content_sha256 for r in updates + updates2
+    }

@@ -83,9 +83,16 @@ def run_one(cpus: int) -> dict:
     # sorted Iceberg layout build_index(sorted_input=True) declares.
     # Cached per (cpus, replicate, repeat) across measurement windows —
     # the corpus is deterministic and its write is untimed anyway.
-    src = os.path.join(
-        tempfile.gettempdir(), f"ir_scale_corpus_{cpus}_{REPLICATE}_{REPEAT}"
-    )
+    cache_root = os.path.join(tempfile.gettempdir(), "ir_scale_corpus_cache")
+    src = os.path.join(cache_root, f"{cpus}_{REPLICATE}_{REPEAT}")
+    # prune cached corpora from OTHER (replicate, repeat) configs before
+    # writing ours: each is ~7 GB and a sweep across configs would
+    # otherwise accumulate tens of GB of /tmp disk (both cpus levels of
+    # the CURRENT config are kept — windows alternate between them)
+    if os.path.isdir(cache_root):
+        for name in os.listdir(cache_root):
+            if not name.endswith(f"_{REPLICATE}_{REPEAT}"):
+                shutil.rmtree(os.path.join(cache_root, name), ignore_errors=True)
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         replicated_corpus(spark, SF_DIR, REPLICATE, REPEAT).repartitionByRange(
             cpus * 16, "doc_id"
@@ -260,6 +267,12 @@ def main():
         "windows_passing": passing,
         "pass": passing * 2 > len(rows),
     }))
+    # the replicated-corpus cache is ~7 GB per level: reclaim /tmp now
+    # that all windows are done (re-runs pay the untimed write again)
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), "ir_scale_corpus_cache"),
+        ignore_errors=True,
+    )
 
 
 if __name__ == "__main__":

@@ -1302,6 +1302,14 @@ def dynamic_oracles(sf_dir: str | None = None) -> dict[str, str]:
         if terms:
             lst = ", ".join(f"'{t}'" for t in terms)
             entries.append(f"('{raw}', [{lst}])")
+        else:
+            # raws that analyze to NOTHING (length bound / all filtered)
+            # map to an empty list: unnest([]) drops them — exactly the
+            # Spark analyzer's behavior — while keeping them IN the map
+            # so the unmapped-raw guard below only fires on vocabulary
+            # the map has truly never seen (harness compares at a
+            # different SF than SPARK_GRAFT_ORACLE_SF_DIR).
+            entries.append(f"('{raw}', CAST([] AS VARCHAR[]))")
     if not entries:
         _DYNAMIC_CACHE[sf_dir] = {}
         return {}
@@ -1312,8 +1320,13 @@ def dynamic_oracles(sf_dir: str | None = None) -> dict[str, str]:
         rawt AS (SELECT doc_id,
                         unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS raw
                  FROM documents),
-        toks AS (SELECT doc_id, unnest(m.terms) AS term
-                 FROM rawt JOIN map m USING (raw)),
+        toks AS (SELECT rawt.doc_id,
+                        unnest(CASE WHEN m.raw IS NULL THEN error(
+                                 'search_engine_topk oracle: raw token "' ||
+                                 rawt.raw ||
+                                 '" absent from the stem map (SPARK_GRAFT_ORACLE_SF_DIR does not match the dataset being compared)')
+                               ELSE m.terms END) AS term
+                 FROM rawt LEFT JOIN map m ON rawt.raw = m.raw),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         dl AS (SELECT d.doc_id, coalesce(x.doclen, 0) AS doclen
                FROM documents d LEFT JOIN

@@ -511,6 +511,11 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
+        # the changed-count job was the last consumer of the previous
+        # snapshot: release its localCheckpoint blocks now rather than
+        # waiting for driver GC (a long run would otherwise hold one
+        # full labels copy per round in block-manager storage)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

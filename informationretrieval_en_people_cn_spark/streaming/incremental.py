@@ -155,6 +155,17 @@ def _commit_snapshot(out_dir: str, names: dict[str, str], version: int) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, ptr)
+    # fsync the directory so the rename itself survives a crash (readers
+    # can never see a torn pointer either way, only a stale one — this
+    # closes that stale-after-crash window on POSIX filesystems)
+    try:
+        dfd = os.open(out_dir, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+    except OSError:
+        return
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def refresh_index(

@@ -88,13 +88,21 @@ def main() -> None:
     engine_dist = SearchEngine(spark, out, cache_term_stats=True, fast_path=False)
     timings: dict[str, float] = {}
     for name, q in QUERY_SET.items():
-        for suffix, eng, reps in (("", engine, 3), ("_dist", engine_dist, 1)):
+        # fast path: median-of-3.  Distributed plan: min-of-2 — the keys
+        # were single-shot through round 3 and the first shot pays ~3x
+        # cold-start (JVM/codegen warmup), which round 3 misread as a
+        # regression (q_phrase_dist 2.4x).  min-of-N is the steady-state
+        # plan cost, the number the 100 TB shape comparison needs.
+        for suffix, eng, reps, pick in (
+            ("", engine, 3, lambda r: sorted(r)[len(r) // 2]),
+            ("_dist", engine_dist, 2, min),
+        ):
             runs = []
             for _ in range(reps):
                 t0 = time.time()
                 eng.search(q, k=10).collect()
                 runs.append(time.time() - t0)
-            timings[name + suffix] = round(sorted(runs)[len(runs) // 2], 4)
+            timings[name + suffix] = round(pick(runs), 4)
 
     # pipeline headliners at the same SF
     from informationretrieval_en_people_cn_spark import api

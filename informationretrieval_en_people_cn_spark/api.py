@@ -612,6 +612,19 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_decoded(spark, sf_dir):
+    """REAL stdlib media decode, VALUE-CHECKED: synth_media_real builds
+    spec-valid BMP/PPM/WAV bytes whose decoded header fields + content
+    means are closed-form in the row index, so the DuckDB oracle
+    recomputes every output of the struct-parsing decoders from
+    range(48) with no media library on either side.  Only compressed
+    formats (png/jpeg/mp4 — PIL/ffmpeg absent here) stay stubbed."""
+    from .operators import multimodal as mm
+
+    media = mm.synth_media_real(spark, n=48, seed=7)
+    return mm.decode_media(media)
+
+
 def q_search_engine_topk(spark, sf_dir):
     """End-to-end STEMMED engine path: build the real stemmed+compressed
     index over the documents table, run a ranked query through the
@@ -694,6 +707,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
     "media_features": q_media_features,
+    "media_decoded": q_media_decoded,
     "search_engine_topk": q_search_engine_topk,
     "search_engine_topk_unstemmed": q_search_engine_topk_unstemmed,
 }
@@ -1245,6 +1259,32 @@ ORACLES["media_features"] = f"""
     SELECT media_id, kind, payload_sha256, n_bytes,
            concat_ws(',', {_MEDIA_U16}) AS feature_csv
     FROM f
+"""
+
+# ---- media_decoded oracle: the real-decoder outputs are closed-form
+# in the row index (see synth_media_real's docstring) — pure arithmetic
+# over range(48), media libraries on neither side
+ORACLES["media_decoded"] = """
+    WITH m AS (SELECT CAST(i AS BIGINT) AS media_id,
+                      CAST(i % 3 AS INT) AS f, CAST(i AS INT) AS ii
+               FROM range(48) t(i))
+    SELECT media_id,
+      CASE f WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS fmt,
+      CAST(CASE f WHEN 0 THEN 5 + ii % 4
+                  WHEN 1 THEN 4 + ii % 5 END AS INT) AS width,
+      CAST(CASE f WHEN 0 THEN 3 + ii % 3
+                  WHEN 1 THEN 2 + ii % 4 END AS INT) AS height,
+      CAST(CASE f WHEN 0 THEN 24 WHEN 1 THEN 8 ELSE 16 END AS INT) AS bit_depth,
+      CAST(CASE f WHEN 2 THEN 1 + ii % 2 ELSE 3 END AS INT) AS channels,
+      CAST(CASE f WHEN 2 THEN 8000 END AS INT) AS sample_rate,
+      CAST(CASE f WHEN 2 THEN ((64 + ii) * 1000) // 8000 END AS INT) AS duration_ms,
+      CAST(CASE f WHEN 0 THEN 3 * (5 + ii % 4) * (3 + ii % 3)
+                  WHEN 1 THEN 3 * (4 + ii % 5) * (2 + ii % 4)
+                  ELSE (64 + ii) * (1 + ii % 2) END AS BIGINT) AS n_values,
+      CAST(CASE f WHEN 0 THEN (7 * ii * 37) % 256
+                  WHEN 1 THEN (7 * ii * 53) % 256
+                  ELSE (7 * ii * 91) % 1001 - 500 END AS DOUBLE) AS mean_val
+    FROM m
 """
 
 _PROFILE_VALUES = ", ".join(

@@ -26,6 +26,78 @@ def test_media_real_decoder_is_stubbed(spark):
         mm.extract_features(media, decoder_key="_real").collect()
 
 
+def test_decode_bmp_skips_row_padding():
+    """w=5 -> row bytes 15, stride 16: one 0xAB pad byte per row that a
+    naive raster mean would absorb.  fill=10 must come back exactly."""
+    from informationretrieval_en_people_cn_spark.operators import multimodal as mm
+
+    d = mm.decode_bmp(mm._make_bmp(5, 4, 10))
+    assert (d["width"], d["height"], d["bit_depth"], d["channels"]) == (5, 4, 24, 3)
+    assert d["n_values"] == 3 * 5 * 4
+    assert d["mean_val"] == 10.0  # != 10 iff padding leaked into the mean
+
+
+def test_decode_ppm_skips_header_comment():
+    from informationretrieval_en_people_cn_spark.operators import multimodal as mm
+
+    d = mm.decode_ppm(mm._make_ppm(7, 3, 200))
+    assert (d["width"], d["height"], d["n_values"]) == (7, 3, 63)
+    assert d["mean_val"] == 200.0
+
+
+def test_decode_wav_walks_chunks_and_odd_pad():
+    """synth WAV carries an odd-sized LIST chunk between fmt and data;
+    decode must honor RIFF word alignment to find the data chunk."""
+    from informationretrieval_en_people_cn_spark.operators import multimodal as mm
+
+    d = mm.decode_wav(mm._make_wav(2, 8000, 100, -123))
+    assert (d["channels"], d["sample_rate"], d["bit_depth"]) == (2, 8000, 16)
+    assert d["duration_ms"] == 100 * 1000 // 8000
+    assert d["n_values"] == 200
+    assert d["mean_val"] == -123.0
+
+
+def test_sniff_decode_dispatches_on_magic_not_metadata():
+    from informationretrieval_en_people_cn_spark.operators import multimodal as mm
+
+    assert mm.sniff_decode(mm._make_bmp(4, 2, 1))["fmt"] == "bmp"
+    assert mm.sniff_decode(mm._make_ppm(4, 2, 1))["fmt"] == "ppm"
+    assert mm.sniff_decode(mm._make_wav(1, 8000, 8, 0))["fmt"] == "wav"
+    with pytest.raises(ValueError, match="unrecognized media magic"):
+        mm.sniff_decode(b"\x89PNG\r\n\x1a\n")
+
+
+def test_header_features_adapter_meets_decoder_contract():
+    from informationretrieval_en_people_cn_spark.operators import multimodal as mm
+
+    feat = mm.DECODERS["audio/wav"](mm._make_wav(1, 8000, 64, 7), "audio")
+    assert feat.dtype == np.float32 and feat.shape == (mm.FEATURE_DIM,)
+    assert feat[4] == 8000.0 and feat[7] == 7.0  # sample_rate, mean
+
+
+def test_decode_media_dataframe(spark):
+    """Spark path: decode_media over synth_media_real matches the
+    closed-form parameters for every row."""
+    from informationretrieval_en_people_cn_spark.operators import multimodal as mm
+
+    rows = {r.media_id: r for r in mm.decode_media(mm.synth_media_real(spark, n=12, seed=7)).collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        f = i % 3
+        if f == 0:
+            assert (r.fmt, r.width, r.height) == ("bmp", 5 + i % 4, 3 + i % 3)
+            assert r.mean_val == float((7 * i * 37) % 256)
+            assert r.sample_rate is None
+        elif f == 1:
+            assert (r.fmt, r.width, r.height) == ("ppm", 4 + i % 5, 2 + i % 4)
+            assert r.mean_val == float((7 * i * 53) % 256)
+        else:
+            assert (r.fmt, r.channels, r.sample_rate) == ("wav", 1 + i % 2, 8000)
+            assert r.duration_ms == (64 + i) * 1000 // 8000
+            assert r.mean_val == float((7 * i * 91) % 1001 - 500)
+            assert r.width is None
+
+
 def test_frame_sample_plan(spark):
     from informationretrieval_en_people_cn_spark.operators import multimodal as mm
 

@@ -612,6 +612,65 @@ def q_media_features(spark, sf_dir):
     )
 
 
+_REFRESH_INDEX: dict[str, str] = {}
+
+
+def _refreshed_index(spark, sf_dir: str) -> str:
+    """Stream-ingest the documents corpus, snapshot (v1), stream-append
+    a derived second batch (every 7th doc re-ingested at doc_id+100000),
+    refresh to snapshot v2 — the full incremental-maintenance path:
+    micro-batch runs -> manifest-committed re-merge -> atomic pointer
+    swap -> old-snapshot GC (streaming/incremental.py:171-276)."""
+    import os
+    import tempfile
+
+    from .sources.corpus import documents_as_corpus
+    from .streaming.incremental import (
+        CORPUS_SCHEMA,
+        incremental_index,
+        refresh_index,
+    )
+
+    from .operators.build import POINTER_NAME
+
+    out = _REFRESH_INDEX.get(sf_dir)
+    if out is not None and os.path.exists(os.path.join(out, POINTER_NAME)):
+        return out
+    base = tempfile.mkdtemp(prefix="irrf_")
+    in_dir = os.path.join(base, "incoming")
+    out = os.path.join(base, "idx")
+    c1 = documents_as_corpus(spark, sf_dir)
+    c2 = c1.filter(F.col("doc_id") % 7 == 3).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    lo, span = 0, 1 << 62  # fixed id-space bucketing across all batches
+    for batch, corpus_so_far in ((c1, c1), (c2, c1.unionByName(c2))):
+        batch.write.mode("append").parquet(in_dir)
+        q = incremental_index(
+            spark.readStream.schema(CORPUS_SCHEMA).parquet(in_dir),
+            out, lo=lo, span=span, buckets=8, use_stemmer=False,
+        )
+        q.awaitTermination(300)
+        refresh_index(spark, out, corpus=corpus_so_far)
+    _REFRESH_INDEX[sf_dir] = out
+    return out
+
+
+def q_refresh_topk(spark, sf_dir):
+    """Incremental-refresh path VALUE-CHECKED end-to-end: build v1 from
+    a streamed micro-batch, append a deterministic second batch, refresh
+    to snapshot v2, then run the ranked query against the refreshed
+    snapshot.  The DuckDB oracle recomputes BM25 over the unioned corpus
+    (documents UNION the +100000-shifted re-ingest), so postings merged
+    across batch generations, the rebuilt docs/stats tables, and the
+    pointer-swap load path are all on the value hash."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(spark, _refreshed_index(spark, sf_dir), use_stemmer=False)
+    res = eng.search("merge window spark", k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score_r"))
+
+
 def q_media_decoded(spark, sf_dir):
     """REAL stdlib media decode, VALUE-CHECKED: synth_media_real builds
     spec-valid BMP/PPM/WAV bytes whose decoded header fields + content
@@ -708,6 +767,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf,
     "media_features": q_media_features,
     "media_decoded": q_media_decoded,
+    "refresh_topk": q_refresh_topk,
     "search_engine_topk": q_search_engine_topk,
     "search_engine_topk_unstemmed": q_search_engine_topk_unstemmed,
 }
@@ -1260,6 +1320,23 @@ ORACLES["media_features"] = f"""
            concat_ws(',', {_MEDIA_U16}) AS feature_csv
     FROM f
 """
+
+# ---- refresh_topk oracle: BM25 over the unioned corpus (base docs +
+# the +100000-shifted re-ingest of every doc_id % 7 == 3).  Table refs
+# are rewritten to the docs2 CTE FIRST, then the CTE (whose own body
+# legitimately reads `documents`) is injected.
+_BM25_DOCS2 = _BM25_SQL.replace("FROM documents d", "FROM docs2 d").replace(
+    "FROM documents", "FROM docs2"
+).replace(
+    "WITH ",
+    "WITH docs2 AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 7 = 3), ",
+    1,
+)
+ORACLES["refresh_topk"] = (
+    f"SELECT * FROM ({_BM25_DOCS2}) ORDER BY score_r DESC, doc_id LIMIT 10"
+)
 
 # ---- media_decoded oracle: the real-decoder outputs are closed-form
 # in the row index (see synth_media_real's docstring) — pure arithmetic

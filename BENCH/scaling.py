@@ -150,6 +150,95 @@ def run_one(cpus: int) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# query-path scaling (VERDICT r3 #5): the same two-parallelism protocol
+# over the DISTRIBUTED query plan — fat multi-term ranked + boolean
+# queries against the shared 1.2M-doc index.  Fat on purpose: every
+# term is a Zipf-head (df ≈ 0.78 × n_docs), so one ranked query decodes
+# and scores ~1M postings per term — the compute regime a 100 TB
+# serving cluster lives in, not the 0.4 s driver-floor regime.
+# ---------------------------------------------------------------------------
+
+QUERY_SUITE = [
+    "spark stream value data table",
+    "merge window hash join order",
+    "vector column scan group key",
+    "big small slow row customer",
+    "spark AND merge AND window AND data",
+    "stream OR vector OR hash",
+]
+
+
+def _ensure_index(spark) -> str:
+    """Build the shared 1.2M-doc index once (untimed, cached across
+    levels and windows — postings are byte-deterministic regardless of
+    parallelism, so both levels query the identical artifact)."""
+    from informationretrieval_en_people_cn_spark.operators.build import build_index
+
+    idx = os.path.join(
+        tempfile.gettempdir(), "ir_scale_index_cache", f"{REPLICATE}_{REPEAT}"
+    )
+    if not os.path.exists(os.path.join(idx, "stats", "_SUCCESS")):
+        shutil.rmtree(idx, ignore_errors=True)
+        cache_root = os.path.join(tempfile.gettempdir(), "ir_scale_corpus_cache")
+        srcs = [
+            os.path.join(cache_root, n)
+            for n in (os.listdir(cache_root) if os.path.isdir(cache_root) else [])
+            if n.endswith(f"_{REPLICATE}_{REPEAT}")
+            and os.path.exists(os.path.join(cache_root, n, "_SUCCESS"))
+        ]
+        if srcs:
+            corpus = spark.read.parquet(srcs[0])
+        else:
+            src = os.path.join(cache_root, f"32_{REPLICATE}_{REPEAT}")
+            replicated_corpus(spark, SF_DIR, REPLICATE, REPEAT).repartitionByRange(
+                512, "doc_id"
+            ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(src)
+            corpus = spark.read.parquet(src)
+        # salt fixed (not 2×cpus): the artifact must be identical for
+        # both query levels; 64 doc-range buckets give either level
+        # full parallelism on the merge-grid pruned paths
+        build_index(spark, corpus, idx, slices=2, salt=32,
+                    store_positions=False, sorted_input=True,
+                    store_content=False, index_files=32)
+    return idx
+
+
+def query_one(cpus: int) -> dict:
+    from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
+    from informationretrieval_en_people_cn_spark.session import get_spark
+
+    # split the compressed index/docs parquet finer than the default
+    # 128 MB so the scan offers at least cores-many tasks at both levels
+    os.environ.setdefault("SPARK_MAX_PARTITION_BYTES", "8388608")
+    spark = get_spark(
+        app_name=f"qscaling-{cpus}", cores=cpus, shuffle_partitions=max(cpus, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = _ensure_index(spark)
+    # the 100 TB serving shape: distributed plan (fast_path off), term
+    # stats cached for zero-job planning
+    eng = SearchEngine(spark, idx, cache_term_stats=True, fast_path=False)
+    for q in QUERY_SUITE:  # warm: codegen, py workers, parquet footers
+        eng.search(q, k=10).collect()
+    reps = int(os.environ.get("SCALING_REPS", "2"))
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        for q in QUERY_SUITE:
+            eng.search(q, k=10).collect()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    n_docs = eng.n_docs
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "docs": n_docs,
+        "suite_sec": round(best, 2),
+        "queries_per_sec": round(len(QUERY_SUITE) / best, 3),
+    }
+
+
 _CALIBRATE_SNIPPET = r"""
 import multiprocessing as mp, time, sys
 
@@ -201,8 +290,9 @@ def calibrate_one(n: int) -> float:
     return best
 
 
-def _build_one(cpus: int, env: dict) -> dict:
-    cmd = [sys.executable, os.path.abspath(__file__), str(cpus)]
+def _build_one(cpus: int, env: dict, mode: str = "build") -> dict:
+    argv = [str(cpus)] if mode == "build" else ["query", str(cpus)]
+    cmd = [sys.executable, os.path.abspath(__file__)] + argv
     if shutil.which("taskset"):
         # pin local[N] to N cores: an unpinned local[8] borrows the
         # machine's idle cores for JVM scan/write/GC threads — a real
@@ -221,8 +311,22 @@ def main():
     >= SCALING_WINDOWS (default 4) windows; the summary reports
     per-window raw efficiency and efficiency-vs-ceiling plus medians
     and the majority verdict (raw >= 0.8 OR vs-ceiling >= 0.9)."""
-    if len(sys.argv) > 1:
-        print(json.dumps(run_one(int(sys.argv[1]))))
+    mode = "build"
+    args = sys.argv[1:]
+    if args and args[0] == "query":
+        mode, args = "query", args[1:]
+    if args and args[0] == "prep-index":
+        # unpinned one-time index build so no pinned window pays it
+        from informationretrieval_en_people_cn_spark.session import get_spark
+
+        spark = get_spark(app_name="qscaling-prep", cores=32, shuffle_partitions=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({"index": _ensure_index(spark)}))
+        spark.stop()
+        return
+    if args:
+        fn = run_one if mode == "build" else query_one
+        print(json.dumps(fn(int(args[0]))))
         return
     import statistics
 
@@ -232,17 +336,23 @@ def main():
     # noise without stretching the window so far that the interleaved
     # calibration no longer shares its weather
     env.setdefault("SCALING_REPS", "2")
+    if mode == "query":
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "query", "prep-index"],
+            check=True, env=env,
+        )
+    sec_key = "build_sec" if mode == "build" else "suite_sec"
     windows = int(os.environ.get("SCALING_WINDOWS", "4"))
     rows = []
     for w in range(windows):
         window: dict = {"window": w}
         for cpus in (8, 32):
             cal = calibrate_one(cpus)          # adjacent: same weather
-            r = _build_one(cpus, env)
+            r = _build_one(cpus, env, mode)
             window[f"cal_rate_{cpus}"] = round(cal, 2)
-            window[f"build_sec_{cpus}"] = r["build_sec"]
+            window[f"{sec_key}_{cpus}"] = r[sec_key]
             window["docs"] = r["docs"]
-        speedup = window["build_sec_8"] / window["build_sec_32"]
+        speedup = window[f"{sec_key}_8"] / window[f"{sec_key}_32"]
         ceiling = window["cal_rate_32"] / window["cal_rate_8"]
         window["speedup_8_to_32"] = round(speedup, 3)
         window["raw_efficiency"] = round(speedup / 4.0, 3)
@@ -256,7 +366,9 @@ def main():
         1 for r in rows if r["raw_efficiency"] >= 0.8 or r["eff_vs_ceiling"] >= 0.9
     )
     print(json.dumps({
-        "protocol": "per-window interleaved calibration: cal8,build8,cal32,build32",
+        "workload": "index build" if mode == "build"
+        else f"distributed-plan query suite ({len(QUERY_SUITE)} fat queries)",
+        "protocol": "per-window interleaved calibration: cal8,run8,cal32,run32",
         "windows": rows,
         "median_raw_efficiency": round(statistics.median(raw), 3),
         "median_ceiling_speedup": round(
@@ -273,6 +385,11 @@ def main():
         os.path.join(tempfile.gettempdir(), "ir_scale_corpus_cache"),
         ignore_errors=True,
     )
+    if mode == "query":
+        shutil.rmtree(
+            os.path.join(tempfile.gettempdir(), "ir_scale_index_cache"),
+            ignore_errors=True,
+        )
 
 
 if __name__ == "__main__":

@@ -8,12 +8,17 @@ Usage: python tools/driver_sim.py [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
-SF_DIR = "/root/testdata/sf0.01"
+# IR_SIM_SF_DIR overrides for soak runs (e.g. sf0.1); the stemmed-
+# flagship dynamic oracle derives its vocab from SPARK_GRAFT_ORACLE_SF_DIR,
+# which must point at the same dataset — set it here so they can't drift.
+SF_DIR = os.environ.get("IR_SIM_SF_DIR", "/root/testdata/sf0.01")
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -612,6 +612,40 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_repetition_features(spark, sf_dir):
+    """Gopher/C4 repetition filters over the documents table.  Every
+    third doc gets its text duplicated onto a second line so the
+    dup-line signal is exercised, not vacuously zero."""
+    from .operators import pipeline as pl
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat("text", F.lit("\n"), "text"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pl.repetition_features(docs)
+
+
+def q_scrub_pii(spark, sf_dir):
+    """PII scrub over documents deterministically salted with an email,
+    an IPv4, and a long digit run derived from doc_id — the oracle
+    reproduces the salting and the staged redaction passes exactly."""
+    from .operators import pipeline as pl
+
+    d = F.col("doc_id").cast("string")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text", F.lit(" contact user"), d, F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit("."),
+            (F.col("doc_id") % 100).cast("string"), F.lit(" ref 123456789"), d,
+        ).alias("text"),
+    )
+    return pl.scrub_pii(docs)
+
+
 _REFRESH_INDEX: dict[str, str] = {}
 
 
@@ -747,6 +781,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "quality_features": q_quality,
+    "repetition_features": q_repetition_features,
+    "scrub_pii": q_scrub_pii,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "ann_cosine_topk": q_ann_cosine,
@@ -1319,6 +1355,59 @@ ORACLES["media_features"] = f"""
     SELECT media_id, kind, payload_sha256, n_bytes,
            concat_ws(',', {_MEDIA_U16}) AS feature_csv
     FROM f
+"""
+
+# ---- repetition / PII-scrub oracles: replicate the deterministic
+# salting, then the exact operator semantics (staged passes for PII —
+# each pattern counts+replaces over the PREVIOUS pass's output; DuckDB
+# regexp_replace needs the 'g' flag to match Spark's replace-all)
+ORACLES["repetition_features"] = f"""
+    WITH aug AS (SELECT doc_id,
+                        CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text
+                             ELSE text END AS text
+                 FROM documents),
+    base AS (SELECT doc_id, {_SQL_TOKS} AS tl,
+                    list_filter(string_split(text, chr(10)),
+                                l -> length(l) > 0) AS ls
+             FROM aug),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(tl)),
+                         i -> tl[i] || ' ' || tl[i + 1])) AS g
+           FROM base WHERE len(tl) >= 2),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    bgm AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY 1)
+    SELECT base.doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           round(CASE WHEN len(ls) = 0 THEN 0
+                      ELSE 1.0 - len(list_distinct(ls)) * 1.0 / len(ls)
+                 END, 6) AS dup_line_frac,
+           round(coalesce(bgm.mx * 1.0 / bgm.tot, 0), 6) AS top_bigram_frac
+    FROM base LEFT JOIN bgm USING (doc_id)
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_NUM = r"\d{9,}"
+ORACLES["scrub_pii"] = f"""
+    WITH aug AS (SELECT doc_id,
+                        text || ' contact user' || doc_id ||
+                        '@example.com at 10.0.' || (doc_id % 256) || '.' ||
+                        (doc_id % 100) || ' ref 123456789' || doc_id AS t0
+                 FROM documents),
+    p1 AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(t0, '{_PII_EMAIL}')) AS BIGINT)
+                    AS n_email,
+                  regexp_replace(t0, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+           FROM aug),
+    p2 AS (SELECT doc_id, n_email,
+                  CAST(len(regexp_extract_all(t1, '{_PII_IP}')) AS BIGINT)
+                    AS n_ip,
+                  regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+           FROM p1)
+    SELECT doc_id, n_email, n_ip,
+           CAST(len(regexp_extract_all(t2, '{_PII_NUM}')) AS BIGINT) AS n_num,
+           regexp_replace(t2, '{_PII_NUM}', '<NUM>', 'g') AS scrubbed
+    FROM p2
 """
 
 # ---- refresh_topk oracle: BM25 over the unioned corpus (base docs +

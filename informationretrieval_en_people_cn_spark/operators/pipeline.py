@@ -630,6 +630,84 @@ def lang_id(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def repetition_features(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition signals — the filters that catch
+    boilerplate and degenerate generations in pre-training mixes:
+
+    - ``dup_line_frac``: 1 − distinct(non-empty lines)/lines (pure
+      array expressions, codegen'd — no shuffle)
+    - ``top_bigram_frac``: share of all token bigrams taken by the most
+      frequent one (explode → map-side-combined groupBy, the same
+      shuffle shape as tf — bigram counts shuffle, never text)
+    """
+    toks = indexed_tokens_expr(text_col)
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: F.length(l) > 0)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("tl"), lines.alias("ls")
+    )
+    bg = (
+        base.where(F.size("tl") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(tl) - 2), "
+                       "i -> concat(tl[i], ' ', tl[i + 1]))")
+            ).alias("g"),
+        )
+    )
+    bgm = (
+        bg.groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+    )
+    return base.join(bgm, "doc_id", "left").select(
+        "doc_id",
+        F.size("ls").cast("long").alias("n_lines"),
+        F.round(
+            F.when(F.size("ls") == 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct("ls")) / F.size("ls")
+            ),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(F.coalesce(F.col("mx") / F.col("tot"), F.lit(0.0)), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+# ordered redaction passes: email before ip (an email's domain may
+# embed digits), long digit runs last
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\d{9,}", "<NUM>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4s / long digit runs — the standard CCNet /
+    FineWeb-style pre-training scrub.  Pure chained ``regexp_replace``
+    (JVM, codegen'd, no shuffle at all); per-pattern match counts ride
+    along so the pipeline can monitor redaction rates."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for i, (pat, tag) in enumerate(PII_PATTERNS):
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{tag.strip('<>').lower()}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return df.select(
+        F.col(id_col).alias("doc_id"), *counts, scrubbed.alias("scrubbed")
+    )
+
+
 def doc_fingerprints(
     df: DataFrame,
     *,

@@ -251,9 +251,33 @@ class SearchEngine:
                 "phrase verification needs a document store: docs table "
                 "has no content column and no corpus was provided"
             )
-        verified = cand.join(self.content_df, "doc_id").filter(
-            F.contains(F.lower("content"), F.lit(needle))
+        # route the verify scan by the rarest term's df (cached stats —
+        # zero extra jobs).  df bounds |cand|, so each route is guarded:
+        min_df = (
+            min(self.term_stats[t][0] for t in rare)
+            if self.term_stats is not None
+            else None
         )
+        if min_df is not None and min_df <= 1000:
+            # driver-scale: collect the pruned intersection and verify
+            # via an IN-list scan — the predicate pushes into the
+            # doc_id-sorted parquet (file/row-group pruning), the same
+            # route the driver fast path uses; no content shuffle, no
+            # join
+            ids = [int(r.doc_id) for r in cand.collect()]
+            if not ids:
+                return self.docs.limit(0).select("doc_id")
+            verified = self.content_df.filter(F.col("doc_id").isin(ids))
+        elif min_df is not None and min_df <= 2_000_000:
+            # mid-scale: keep cand distributed but broadcast it, so the
+            # content table is scanned once and never shuffled (a plain
+            # join would sort-merge-shuffle the whole document store)
+            verified = self.content_df.join(F.broadcast(cand), "doc_id")
+        else:
+            # unbounded (no cached stats, or Zipf-head phrase terms):
+            # fully distributed join — AQE picks the strategy
+            verified = cand.join(self.content_df, "doc_id")
+        verified = verified.filter(F.contains(F.lower("content"), F.lit(needle)))
         return verified.select("doc_id")
 
     def _decode_positional(self, rows: DataFrame) -> DataFrame:

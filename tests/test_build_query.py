@@ -302,3 +302,28 @@ def test_blockmax_prunes_buckets_on_skew(spark, tmp_path):
     assert all(r.doc_id >= 100 for r in got)  # the high-tf range wins
     m = eng.last_blockmax
     assert m["buckets_scored"] < m["buckets_total"], m  # real pruning
+
+
+def test_phrase_verify_routes_identical(spark, index_dir, corpus_pdf):
+    """The three df-guarded phrase-verify routes (IN-list pushdown /
+    broadcast-join / plain distributed join) must return the same doc
+    set.  Routes are forced by swapping the cached df values, which the
+    router reads but the semantics must not depend on."""
+    from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
+
+    phrase = "posting merge"
+    gold = {
+        r.doc_id for r in corpus_pdf.itertuples() if phrase in r.content.lower()
+    }
+
+    # route 1: cached stats, tiny df -> IN-list scan
+    eng = SearchEngine(spark, index_dir, cache_term_stats=True, fast_path=False)
+    assert {r.doc_id for r in eng.phrase_docids(phrase).collect()} == gold
+
+    # route 2: inflate cached dfs past the IN-list bound -> broadcast join
+    eng.term_stats = {t: (1_500_000, cf) for t, (df, cf) in eng.term_stats.items()}
+    assert {r.doc_id for r in eng.phrase_docids(phrase).collect()} == gold
+
+    # route 3: past the broadcast bound -> plain distributed join
+    eng.term_stats = {t: (5_000_000, cf) for t, (df, cf) in eng.term_stats.items()}
+    assert {r.doc_id for r in eng.phrase_docids(phrase).collect()} == gold

@@ -153,11 +153,24 @@ def run_one(cpus: int) -> dict:
 # ---------------------------------------------------------------------------
 # query-path scaling (VERDICT r3 #5): the same two-parallelism protocol
 # over the DISTRIBUTED query plan — fat multi-term ranked + boolean
-# queries against the shared 1.2M-doc index.  Fat on purpose: every
-# term is a Zipf-head (df ≈ 0.78 × n_docs), so one ranked query decodes
-# and scores ~1M postings per term — the compute regime a 100 TB
-# serving cluster lives in, not the 0.4 s driver-floor regime.
+# queries against the shared 1.2M-doc index.  Every term is a Zipf-head
+# (df ≈ 0.78 × n_docs), so one ranked query decodes and scores ~1M
+# postings per term.
+#
+# What scales with cluster size is THROUGHPUT, not single-query
+# latency: one query only materializes ~|terms| × |file shards| tasks
+# plus a handful of small shuffle stages, so a 4× bigger cluster cannot
+# make one query 4× faster once its tasks already fit the smaller
+# cluster (measured: sequential suite speedup 8→32 was ~1.1×; the extra
+# cores sat idle).  A serving cluster runs many queries concurrently —
+# so the workload is a fixed closed-loop client pool (16 clients, the
+# same at both levels) driving suite×rounds queries, and the metric is
+# queries/sec.  This matches how a real N-vs-4N serving comparison is
+# load-tested.
 # ---------------------------------------------------------------------------
+
+QUERY_CLIENTS = int(os.environ.get("SCALING_QUERY_CLIENTS", "16"))
+QUERY_ROUNDS = int(os.environ.get("SCALING_QUERY_ROUNDS", "8"))
 
 QUERY_SUITE = [
     "spark stream value data table",
@@ -219,23 +232,31 @@ def query_one(cpus: int) -> dict:
     # the 100 TB serving shape: distributed plan (fast_path off), term
     # stats cached for zero-job planning
     eng = SearchEngine(spark, idx, cache_term_stats=True, fast_path=False)
-    for q in QUERY_SUITE:  # warm: codegen, py workers, parquet footers
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(q):
         eng.search(q, k=10).collect()
+
+    batch = [q for _ in range(QUERY_ROUNDS) for q in QUERY_SUITE]
     reps = int(os.environ.get("SCALING_REPS", "2"))
     best = None
-    for _ in range(reps):
-        t0 = time.time()
-        for q in QUERY_SUITE:
-            eng.search(q, k=10).collect()
-        dt = time.time() - t0
-        best = dt if best is None or dt < best else best
+    with ThreadPoolExecutor(QUERY_CLIENTS) as pool:
+        # warm: codegen, py workers, parquet footers, concurrent paths
+        list(pool.map(run, QUERY_SUITE))
+        for _ in range(reps):
+            t0 = time.time()
+            list(pool.map(run, batch))
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
     n_docs = eng.n_docs
     spark.stop()
     return {
         "cpus": cpus,
         "docs": n_docs,
+        "clients": QUERY_CLIENTS,
+        "n_queries": len(batch),
         "suite_sec": round(best, 2),
-        "queries_per_sec": round(len(QUERY_SUITE) / best, 3),
+        "queries_per_sec": round(len(batch) / best, 3),
     }
 
 

@@ -221,11 +221,17 @@ def query_one(cpus: int) -> dict:
     from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
     from informationretrieval_en_people_cn_spark.session import get_spark
 
-    # split the compressed index/docs parquet finer than the default
-    # 128 MB so the scan offers at least cores-many tasks at both levels
+    # serving-cluster tuning, identical at both levels: with 16
+    # concurrent queries supplying the parallelism, per-query stages
+    # should be FEW and LARGE — 8 shuffle partitions per query (128
+    # runnable shuffle tasks across the pool) and AQE off (its
+    # per-shuffle re-planning multiplies driver scheduling work, the
+    # shared bottleneck of a many-small-jobs serving workload; plans
+    # here are fixed and small, AQE has nothing to win)
     os.environ.setdefault("SPARK_MAX_PARTITION_BYTES", "8388608")
+    os.environ["SPARK_ADAPTIVE"] = "false"
     spark = get_spark(
-        app_name=f"qscaling-{cpus}", cores=cpus, shuffle_partitions=max(cpus, 16)
+        app_name=f"qscaling-{cpus}", cores=cpus, shuffle_partitions=8
     )
     spark.sparkContext.setLogLevel("ERROR")
     idx = _ensure_index(spark)

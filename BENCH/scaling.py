@@ -237,7 +237,13 @@ def query_one(cpus: int) -> dict:
     idx = _ensure_index(spark)
     # the 100 TB serving shape: distributed plan (fast_path off), term
     # stats cached for zero-job planning
-    eng = SearchEngine(spark, idx, cache_term_stats=True, fast_path=False)
+    eng = SearchEngine(
+        spark, idx, cache_term_stats=True, fast_path=False,
+        persist_doclens=os.environ.get("SCALING_PERSIST_DOCLENS", "1") == "1",
+        decode_repartition_min_sumdf=int(
+            os.environ.get("SCALING_DECODE_REPART_MIN", "2000000")
+        ),
+    )
     from concurrent.futures import ThreadPoolExecutor
 
     def run(q):

@@ -105,6 +105,8 @@ class SearchEngine:
         fast_max_postings: int = 5_000_000,
         use_blockmax: bool | None = None,
         blockmax_min_sumdf: int = 5_000_000,
+        persist_doclens: bool = False,
+        decode_repartition_min_sumdf: int = 2_000_000,
     ):
         from ..operators.build import IndexPaths
 
@@ -123,6 +125,25 @@ class SearchEngine:
             self.content_df = corpus.select("doc_id", "content")
         else:
             self.content_df = None
+        # serving mode: keep (doc_id, doclen) cluster-cached and
+        # PRE-HASH-PARTITIONED on the score join's key.  Every ranked
+        # query joins decoded postings against doclens; without this the
+        # doclen side re-scans the docs table and re-shuffles |corpus|
+        # rows per query.  With it, Spark sees the cached child's
+        # HashPartitioning(doc_id) already satisfies the join's
+        # distribution — only the decoded postings move.  Memory is
+        # 16 B/doc across the cluster; at 10^12 docs that is ~16 TB
+        # spread over executors (or spilled), still far below
+        # re-shuffling it per query.
+        self._doclens_cluster = None
+        self.decode_repartition_min_sumdf = decode_repartition_min_sumdf
+        if persist_doclens:
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            self._doclens_cluster = (
+                self.docs.select("doc_id", "doclen")
+                .repartition(n_parts, "doc_id")
+                .persist()
+            )
         st = spark.read.parquet(paths.stats).collect()[0]
         self.n_docs = st.n_docs
         self.avgdl = float(st.avg_doclen or 0.0) or 1.0
@@ -562,7 +583,11 @@ class SearchEngine:
         for it would dwarf the decode it saved)."""
         k1, b = self.k1, self.b
         decoded = decode_postings_df(rows)
-        doclens = self.docs.select("doc_id", "doclen")
+        doclens = (
+            self._doclens_cluster
+            if self._doclens_cluster is not None
+            else self.docs.select("doc_id", "doclen")
+        )
         if doc_range is not None:
             doclens = doclens.filter(
                 (F.col("doc_id") >= doc_range[0])
@@ -595,6 +620,20 @@ class SearchEngine:
         """BM25 over the disjunction of ``terms`` → (doc_id, score[, ...])."""
         terms = sorted(set(terms))
         rows = self._index_rows(terms)
+        # the index is range-partitioned by TERM, so a Zipf-head term's
+        # doc-range shards (up to slices×salt rows) sit in one file and
+        # would decode as ONE straggler task.  When cached stats say the
+        # query is fat, spread the (term, bucket) shards across the
+        # cluster first — the shuffle moves only the query terms'
+        # compressed frames (KBs-MBs), and decode parallelism then
+        # scales with shard count instead of file count.
+        if (
+            self.term_stats is not None
+            and sum(self.term_stats.get(t, (0, 0))[0] for t in terms)
+            >= self.decode_repartition_min_sumdf
+        ):
+            n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            rows = rows.repartition(n_parts, "term", "bucket")
         stats = self._term_df_stats(terms, rows)
         agg = self._score_rows(rows, stats)
         out = agg.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -327,3 +327,21 @@ def test_phrase_verify_routes_identical(spark, index_dir, corpus_pdf):
     # route 3: past the broadcast bound -> plain distributed join
     eng.term_stats = {t: (5_000_000, cf) for t, (df, cf) in eng.term_stats.items()}
     assert {r.doc_id for r in eng.phrase_docids(phrase).collect()} == gold
+
+
+def test_serving_mode_scores_identical(spark, index_dir):
+    """persist_doclens (cluster-cached pre-partitioned doclens) and the
+    Σdf-gated (term, bucket) decode repartition must not change any
+    result: same ranked output, bit-identical scores."""
+    from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
+
+    base = SearchEngine(spark, index_dir, cache_term_stats=True, fast_path=False)
+    serving = SearchEngine(
+        spark, index_dir, cache_term_stats=True, fast_path=False,
+        persist_doclens=True, decode_repartition_min_sumdf=0,  # force both paths
+    )
+    for q in ("merge window", "return value buffer", "compress AND merge"):
+        want = [(r.doc_id, getattr(r, "score", None)) for r in base.search(q, 10).collect()]
+        got = [(r.doc_id, getattr(r, "score", None)) for r in serving.search(q, 10).collect()]
+        assert got == want, q
+    serving._doclens_cluster.unpersist()

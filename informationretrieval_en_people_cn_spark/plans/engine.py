@@ -136,12 +136,55 @@ class SearchEngine:
         # spread over executors (or spilled), still far below
         # re-shuffling it per query.
         self._doclens_cluster = None
+        self._bucket_doclens = None
         self.decode_repartition_min_sumdf = decode_repartition_min_sumdf
         if persist_doclens:
             n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
             self._doclens_cluster = (
                 self.docs.select("doc_id", "doclen")
                 .repartition(n_parts, "doc_id")
+                .persist()
+            )
+            # per-bucket doclen arrays for the bucket-local DAAT plan
+            # (score_terms_bucketed): bucket → (sorted doc_ids, doclens).
+            # Bucket doc ranges come from the index's own metadata (one
+            # metadata-scale job at engine open).  Docs with zero indexed
+            # terms never appear in postings, so their absence is
+            # harmless.  Memory: |docs| struct entries spread over
+            # buckets; at 10^12 docs the bucket count scales with the
+            # cluster (slices × salt), keeping each array bounded.
+            rng = (
+                self.index.groupBy("bucket")
+                .agg(
+                    F.min("first_doc").alias("lo"),
+                    F.max(F.expr("blocks[size(blocks) - 1].last_doc")).alias("hi"),
+                )
+                .collect()
+            )
+            bexpr = F.lit(None).cast("int")
+            for r in rng:  # doc ranges are disjoint by construction
+                bexpr = F.when(
+                    (F.col("doc_id") >= r.lo) & (F.col("doc_id") <= r.hi),
+                    F.lit(int(r.bucket)),
+                ).otherwise(bexpr)
+            z = (
+                self.docs.select("doc_id", "doclen")
+                .withColumn("bucket", bexpr)
+                .where(F.col("bucket").isNotNull())
+                .groupBy("bucket")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "doclen"))
+                    ).alias("z")
+                )
+            )
+            self._bucket_doclens = (
+                z.select(
+                    "bucket",
+                    F.col("z.doc_id").alias("dl_ids"),
+                    F.col("z.doclen").alias("dl_lens"),
+                )
+                .repartition(n_parts, "bucket")
                 .persist()
             )
         st = spark.read.parquet(paths.stats).collect()[0]
@@ -639,6 +682,85 @@ class SearchEngine:
         out = agg.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k else out
 
+    def score_terms_bucketed(self, terms: list[str], k: int | None = None) -> DataFrame:
+        """Bucket-local DAAT — the sharded-search serving plan.
+
+        The classic distributed IR architecture (one shard per doc
+        range, local scoring, global top-k merge) falls out of the
+        index's own salted-merge grid: ALL of a doc's postings live in
+        exactly one doc-range bucket, and serving mode keeps each
+        bucket's (doc_id, doclen) arrays cluster-cached and
+        pre-partitioned on ``bucket``.  A ranked query then moves ONLY
+        the query terms' compressed frames through the shuffle (KBs-MBs)
+        — never decoded postings, never doclens — and each bucket task
+        decodes + scores + fully aggregates its docs in numpy.  Global
+        top-k is per-partition heaps + driver merge
+        (TakeOrderedAndProject).  Per-query shuffle volume drops from
+        O(Σdf) rows (decoded-join plan) to O(query index bytes).
+
+        Bit-identical to :meth:`score_terms`: per-doc accumulation runs
+        in term-sorted order from 0.0, the same float64 sequence as the
+        canonical array_sort aggregate.  Requires serving mode
+        (``persist_doclens=True``) and cached term stats.
+        """
+        import pandas as pd
+
+        terms = sorted(set(terms))
+        present = [t for t in terms if self.term_stats.get(t, (0, 0))[0] > 0]
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not present:
+            return empty
+        idf = {
+            t: bm25_idf(self.n_docs, self.term_stats[t][0]) for t in present
+        }
+        k1, b, avgdl = self.k1, self.b, self.avgdl
+
+        joined = (
+            self._index_rows(present)
+            .groupBy("bucket")
+            .agg(F.collect_list(F.struct("term", "postings")).alias("frames"))
+            .join(self._bucket_doclens, "bucket")
+            .select("frames", "dl_ids", "dl_lens")
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                out_d, out_s = [], []
+                for frames, dl_ids, dl_lens in zip(
+                    pdf["frames"], pdf["dl_ids"], pdf["dl_lens"]
+                ):
+                    ids = np.asarray(dl_ids, dtype=np.int64)
+                    lens = np.asarray(dl_lens, dtype=np.float64)
+                    acc = np.zeros(len(ids))
+                    touched = np.zeros(len(ids), dtype=bool)
+                    # term-sorted frame order == the canonical float64
+                    # summation order of _score_rows (each doc gets at
+                    # most one posting per term)
+                    for fr in sorted(frames, key=lambda f: f["term"]):
+                        d, t, _ = decode_frames(bytes(fr["postings"]))
+                        pos = np.searchsorted(ids, d)
+                        tf = t.astype(np.float64)
+                        s = (
+                            idf[fr["term"]]
+                            * (tf * (k1 + 1))
+                            / (tf + k1 * (1 - b + b * lens[pos] / avgdl))
+                        )
+                        acc[pos] += s
+                        touched[pos] = True
+                    out_d.append(ids[touched])
+                    out_s.append(acc[touched])
+                if out_d:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(out_d),
+                            "score": np.concatenate(out_s),
+                        }
+                    )
+
+        scored = joined.mapInPandas(gen, "doc_id long, score double")
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(k) if k else out
+
     def score_terms_blockmax(self, terms: list[str], k: int) -> DataFrame:
         """Distributed top-k with bucket-grid block-max pruning.
 
@@ -741,10 +863,14 @@ class SearchEngine:
 
     def ranked(self, node: qt.RankedNode, raw_query: str, k: int = 10) -> DataFrame:
         terms = self._query_terms(raw_query)
-        if all(
-            leaf.kind == "keyword" for leaf in node.children
-        ) and self._want_blockmax(terms):
-            return self.score_terms_blockmax(terms, k)
+        if all(leaf.kind == "keyword" for leaf in node.children):
+            # serving mode: bucket-local DAAT moves only compressed
+            # frames (see score_terms_bucketed) — strictly less shuffle
+            # than both the decoded-join and block-max plans
+            if self._bucket_doclens is not None and self.term_stats is not None:
+                return self.score_terms_bucketed(terms, k)
+            if self._want_blockmax(terms):
+                return self.score_terms_blockmax(terms, k)
         scored = self.score_terms(terms)
         # candidates = union of leaf results (reference SearchEngine.py:274-276);
         # differs from plain disjunctive BM25 when leaves are phrases.

@@ -340,7 +340,12 @@ def test_serving_mode_scores_identical(spark, index_dir):
         spark, index_dir, cache_term_stats=True, fast_path=False,
         persist_doclens=True, decode_repartition_min_sumdf=0,  # force both paths
     )
-    for q in ("merge window", "return value buffer", "compress AND merge"):
+    for q in (
+        "merge window",
+        "return value buffer",
+        "compress AND merge",
+        "merge window zzznotaterm",  # unknown term must not perturb scores
+    ):
         want = [(r.doc_id, getattr(r, "score", None)) for r in base.search(q, 10).collect()]
         got = [(r.doc_id, getattr(r, "score", None)) for r in serving.search(q, 10).collect()]
         assert got == want, q

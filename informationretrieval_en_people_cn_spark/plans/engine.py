@@ -547,6 +547,83 @@ class SearchEngine:
             or_result = acc if or_result is None else or_result.unionByName(acc)
         return or_result.distinct()
 
+    def boolean_docids_bucketed(self, node: qt.OrNode) -> DataFrame:
+        """Bucket-local boolean algebra — the serving-mode twin of
+        :meth:`score_terms_bucketed`.  Doc membership is bucket-local
+        (all of a doc's postings live in its one doc-range bucket), so
+        per-bucket numpy set ops compose to the exact global result:
+        AND = intersect, NOT = setdiff, OR = union, keyword = union of
+        its analyzed terms' postings, prefix = union of its dictionary
+        expansion.  Only the leaves' compressed frames shuffle; the
+        decoded-id shuffles + semi-joins of :meth:`boolean_docids`
+        disappear.  Keyword/prefix leaves only (caller guards)."""
+        import pandas as pd
+
+        tree: list[list[tuple[list[str], bool]]] = []
+        all_terms: set[str] = set()
+        for and_node in node.children:
+            leaves = []
+            for c in and_node.children:
+                terms = (
+                    self._q(c.value)
+                    if c.kind == "keyword"
+                    else self.expand_prefix(c.value)
+                )
+                leaves.append((terms, c.negated))
+                all_terms.update(terms)
+            # positives first (the parser guarantees at least one)
+            leaves.sort(key=lambda x: x[1])
+            tree.append(leaves)
+        if not all_terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        joined = (
+            self._index_rows(sorted(all_terms))
+            .groupBy("bucket")
+            .agg(F.collect_list(F.struct("term", "postings")).alias("frames"))
+            .select("frames")
+        )
+
+        def gen(batches):
+            empty = np.empty(0, dtype=np.int64)
+            for pdf in batches:
+                outs = []
+                for frames in pdf["frames"]:
+                    by_term: dict[str, np.ndarray] = {}
+                    for fr in frames:
+                        d, _, _ = decode_frames(bytes(fr["postings"]))
+                        d = d.astype(np.int64)
+                        prev = by_term.get(fr["term"])
+                        by_term[fr["term"]] = (
+                            d if prev is None else np.union1d(prev, d)
+                        )
+
+                    def leaf_ids(terms):
+                        arrs = [by_term[t] for t in terms if t in by_term]
+                        if not arrs:
+                            return empty
+                        if len(arrs) == 1:
+                            return arrs[0]
+                        return np.unique(np.concatenate(arrs))
+
+                    res = None
+                    for leaves in tree:
+                        acc = None
+                        for terms, negated in leaves:
+                            li = leaf_ids(terms)
+                            if acc is None:
+                                acc = li
+                            elif negated:
+                                acc = np.setdiff1d(acc, li)
+                            else:
+                                acc = np.intersect1d(acc, li)
+                        res = acc if res is None else np.union1d(res, acc)
+                    if res is not None and res.size:
+                        outs.append(res)
+                if outs:
+                    yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+
+        return joined.mapInPandas(gen, "doc_id long")
+
     # ---- ranked retrieval (Q7) ------------------------------------------
     def expand_prefix(self, prefix: str) -> list[str]:
         """Dictionary prefix enumeration (reference DAWG ``keys(prefix)``,
@@ -1160,6 +1237,12 @@ class SearchEngine:
             if res is not None:
                 return res
         if isinstance(node, qt.OrNode):
+            if self._bucket_doclens is not None and all(
+                c.kind in ("keyword", "prefix")
+                for a in node.children
+                for c in a.children
+            ):
+                return self.boolean_docids_bucketed(node).orderBy("doc_id")
             return self.boolean_docids(node).orderBy("doc_id")
         return self.ranked(node, query, k)
 

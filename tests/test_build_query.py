@@ -350,3 +350,30 @@ def test_serving_mode_scores_identical(spark, index_dir):
         got = [(r.doc_id, getattr(r, "score", None)) for r in serving.search(q, 10).collect()]
         assert got == want, q
     serving._doclens_cluster.unpersist()
+
+
+def test_boolean_bucketed_identical(spark, index_dir):
+    """Serving-mode bucket-local boolean algebra must equal the
+    join-based plan on every shape: AND/OR/NOT, prefix expansion,
+    unknown terms, empty leaves."""
+    from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
+
+    base = SearchEngine(spark, index_dir, cache_term_stats=True, fast_path=False)
+    serv = SearchEngine(
+        spark, index_dir, cache_term_stats=True, fast_path=False,
+        persist_doclens=True,
+    )
+    for q in (
+        "merge AND buffer",
+        "merge OR window OR buffer",
+        "merge NOT compress",
+        "merg* AND return",
+        "return NOT merg*",
+        "merge AND zzznotaterm",
+        "zzz*",
+    ):
+        want = [r.doc_id for r in base.search(q, 10).collect()]
+        got = [r.doc_id for r in serv.search(q, 10).collect()]
+        assert got == want, q
+    serv._doclens_cluster.unpersist()
+    serv._bucket_doclens.unpersist()

@@ -104,6 +104,23 @@ def main() -> None:
                 runs.append(time.time() - t0)
             timings[name + suffix] = round(pick(runs), 4)
 
+    # serving mode (round 4): bucket-local DAAT / set-algebra plans —
+    # per-bucket cluster-cached doclen arrays, only compressed frames
+    # shuffle (the two-cluster-size throughput protocol's engine; see
+    # BENCH/BASELINE.md §query-path scaling).  Timed per shape so the
+    # plan's per-round drift stays visible at sf0.1 too.
+    engine_serving = SearchEngine(
+        spark, out, cache_term_stats=True, fast_path=False, persist_doclens=True
+    )
+    for name in ("q_ranked_3term", "q_bool_and4", "q_bool_not"):
+        q = QUERY_SET[name]
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            engine_serving.search(q, k=10).collect()
+            runs.append(time.time() - t0)
+        timings[name + "_serving"] = round(min(runs), 4)
+
     # pipeline headliners at the same SF
     from informationretrieval_en_people_cn_spark import api
 

@@ -99,6 +99,15 @@ INDEX_SCHEMA = T.StructType(
     ]
 )
 
+# collection stats + the doc-range bucket grid (lo/span/count) the build
+# salted on — stored so query-time bucket assignment is O(1) arithmetic
+# (not an O(buckets) interval lookup).  Loaders tolerate the pre-grid
+# 3-column layout (older indexes fall back to metadata-derived ranges).
+STATS_SCHEMA = (
+    "n_docs long, collection_term_count long, avg_doclen double, "
+    "bucket_lo long, bucket_span long, bucket_count int"
+)
+
 
 def tokenize_to_postings(
     corpus: DataFrame, *, use_stemmer: bool = True, store_positions: bool = True
@@ -426,7 +435,7 @@ def build_index(
             "overwrite"
         ).parquet(paths.docs)
         spark.createDataFrame(
-            [(0, 0, 0.0)], "n_docs long, collection_term_count long, avg_doclen double"
+            [(0, 0, 0.0, 0, 1, slices * salt)], STATS_SCHEMA
         ).write.mode("overwrite").parquet(paths.stats)
         return paths
     span = max(hi - lo + 1, 1)
@@ -597,11 +606,16 @@ def build_index(
 
         # stats from the cached doclen relation + the bounds count — no
         # docs-table re-read job; zero-term docs contribute doclen 0, so
-        # only n_docs (from bounds) differs from dl's row count
+        # only n_docs (from bounds) differs from dl's row count.  The
+        # bucket-grid params (lo, span, count) ride along so a serving
+        # engine can assign doc→bucket arithmetically (the same
+        # _range_bucket float math partition_runs used) instead of
+        # reconstructing ranges from index metadata.
         dl_tot = dl.agg(F.sum("doclen").alias("s")).collect()[0].s or 0
         spark.createDataFrame(
-            [(n_docs, int(dl_tot), float(dl_tot) / n_docs)],
-            "n_docs long, collection_term_count long, avg_doclen double",
+            [(n_docs, int(dl_tot), float(dl_tot) / n_docs,
+              int(lo), int(span), int(buckets))],
+            STATS_SCHEMA,
         ).write.mode("overwrite").parquet(paths.stats)
         dl.unpersist()
         _mark("stats write")
@@ -628,5 +642,17 @@ def build_index(
             stage="run_inputs",
             fingerprint=fp_merge,
             path=_json.dumps(run_inputs),
+        )
+        # record the bucket grid in the manifest too: refresh_index
+        # rebuilds the stats table and must propagate the grid (its runs
+        # were salted on exactly this grid)
+        ckpt.commit(
+            out_dir,
+            partition_id=-4,
+            stage="grid",
+            fingerprint=cfg_fp,
+            path=_json.dumps(
+                {"lo": int(lo), "span": int(span), "buckets": int(buckets)}
+            ),
         )
     return paths

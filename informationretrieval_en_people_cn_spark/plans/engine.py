@@ -125,6 +125,23 @@ class SearchEngine:
             self.content_df = corpus.select("doc_id", "content")
         else:
             self.content_df = None
+        st = spark.read.parquet(paths.stats).collect()[0]
+        self.n_docs = st.n_docs
+        self.avgdl = float(st.avg_doclen or 0.0) or 1.0
+        self.collection_term_count = st.collection_term_count or 0
+        # bucket grid (lo, span, count): present since the stats table
+        # started carrying the build's salting params.  With it, doc →
+        # bucket is O(1) arithmetic (the same _range_bucket float math
+        # the build salted on); without it (older index) serving init
+        # falls back to interval lookup over index metadata.
+        srow = st.asDict()
+        self._grid: tuple[int, int, int] | None = None
+        if srow.get("bucket_count"):
+            self._grid = (
+                int(srow["bucket_lo"]),
+                int(srow["bucket_span"]),
+                int(srow["bucket_count"]),
+            )
         # serving mode: keep (doc_id, doclen) cluster-cached and
         # PRE-HASH-PARTITIONED on the score join's key.  Every ranked
         # query joins decoded postings against doclens; without this the
@@ -147,26 +164,38 @@ class SearchEngine:
             )
             # per-bucket doclen arrays for the bucket-local DAAT plan
             # (score_terms_bucketed): bucket → (sorted doc_ids, doclens).
-            # Bucket doc ranges come from the index's own metadata (one
-            # metadata-scale job at engine open).  Docs with zero indexed
-            # terms never appear in postings, so their absence is
-            # harmless.  Memory: |docs| struct entries spread over
-            # buckets; at 10^12 docs the bucket count scales with the
-            # cluster (slices × salt), keeping each array bounded.
-            rng = (
-                self.index.groupBy("bucket")
-                .agg(
-                    F.min("first_doc").alias("lo"),
-                    F.max(F.expr("blocks[size(blocks) - 1].last_doc")).alias("hi"),
+            # Preferred route: the stats table carries the build's grid
+            # (lo, span, count), so assignment is the same O(1)
+            # _range_bucket arithmetic partition_runs salted on — a
+            # cluster-scale grid (thousands of buckets) costs the same
+            # one expression, not an O(buckets) CASE chain that blows
+            # Catalyst codegen depth.  Legacy route (pre-grid stats):
+            # interval lookup over index metadata.  Memory: |docs|
+            # struct entries spread over buckets; at 10^12 docs the
+            # bucket count scales with the cluster (slices × salt),
+            # keeping each array bounded.
+            if self._grid is not None:
+                from ..operators.build import _range_bucket
+
+                glo, gspan, gn = self._grid
+                bexpr = _range_bucket("doc_id", glo, gspan, gn)
+            else:
+                rng = (
+                    self.index.groupBy("bucket")
+                    .agg(
+                        F.min("first_doc").alias("lo"),
+                        F.max(
+                            F.expr("blocks[size(blocks) - 1].last_doc")
+                        ).alias("hi"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
-            bexpr = F.lit(None).cast("int")
-            for r in rng:  # doc ranges are disjoint by construction
-                bexpr = F.when(
-                    (F.col("doc_id") >= r.lo) & (F.col("doc_id") <= r.hi),
-                    F.lit(int(r.bucket)),
-                ).otherwise(bexpr)
+                bexpr = F.lit(None).cast("int")
+                for r in rng:  # doc ranges are disjoint by construction
+                    bexpr = F.when(
+                        (F.col("doc_id") >= r.lo) & (F.col("doc_id") <= r.hi),
+                        F.lit(int(r.bucket)),
+                    ).otherwise(bexpr)
             z = (
                 self.docs.select("doc_id", "doclen")
                 .withColumn("bucket", bexpr)
@@ -187,10 +216,6 @@ class SearchEngine:
                 .repartition(n_parts, "bucket")
                 .persist()
             )
-        st = spark.read.parquet(paths.stats).collect()[0]
-        self.n_docs = st.n_docs
-        self.avgdl = float(st.avg_doclen or 0.0) or 1.0
-        self.collection_term_count = st.collection_term_count or 0
         self.edges = edges  # (src_doc_id, dst_doc_id) id-lookup relation
         self.stop_cf_fraction = stop_cf_fraction
         # optional driver-side term dictionary (term -> (df, cf)): removes
@@ -198,6 +223,7 @@ class SearchEngine:
         # Feasible while |vocab| fits driver memory — at web scale leave
         # off and planning stays as (pruned, tiny) Spark jobs.
         self.term_stats: dict[str, tuple[int, int]] | None = None
+        self._term_arr: list[str] | None = None
         if cache_term_stats:
             self.term_stats = {
                 r.term: (r.df, r.cf)
@@ -205,6 +231,10 @@ class SearchEngine:
                 .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
                 .collect()
             }
+            # sorted vocabulary for O(log V) prefix expansion (the
+            # reference DAWG's keys(prefix)); a linear dict scan was the
+            # serving hot path's only per-query full-vocab pass
+            self._term_arr = sorted(self.term_stats)
         # optional driver-side doclen arrays (sorted ids + lengths):
         # with term_stats this enables the zero-planning-job fast path.
         # Same memory guard as term_stats — opt in while n_docs fits.
@@ -627,9 +657,29 @@ class SearchEngine:
     # ---- ranked retrieval (Q7) ------------------------------------------
     def expand_prefix(self, prefix: str) -> list[str]:
         """Dictionary prefix enumeration (reference DAWG ``keys(prefix)``,
-        SearchEngine.py:210) — term-sorted index makes this a pruned scan."""
+        SearchEngine.py:210).  With cached stats: two binary searches on
+        the sorted vocabulary — O(log V + matches), not a linear vocab
+        scan (at web-scale V the scan was the serving path's only
+        per-query full pass).  Without: a pruned scan on the term-sorted
+        index (parquet min/max pushdown)."""
+        import bisect
+
         p = prefix.lower()
-        if self.term_stats is not None:  # the in-memory DAWG analogue
+        if self._term_arr is not None:  # the in-memory DAWG analogue
+            arr = self._term_arr
+            lo_i = bisect.bisect_left(arr, p)
+            # successor string of the prefix: bump the rightmost
+            # non-max char and truncate — everything in [p, succ) starts
+            # with p.  All-max-char prefixes (impossible for analyzed
+            # terms) fall back to end-of-vocab.
+            succ = None
+            for j in range(len(p) - 1, -1, -1):
+                if ord(p[j]) < 0x10FFFF:
+                    succ = p[:j] + chr(ord(p[j]) + 1)
+                    break
+            hi_i = len(arr) if succ is None else bisect.bisect_left(arr, succ, lo_i)
+            return arr[lo_i:hi_i]
+        if self.term_stats is not None:  # stats set without the array
             return sorted(t for t in self.term_stats if t.startswith(p))
         return [
             r.term
@@ -816,6 +866,26 @@ class SearchEngine:
                     for fr in sorted(frames, key=lambda f: f["term"]):
                         d, t, _ = decode_frames(bytes(fr["postings"]))
                         pos = np.searchsorted(ids, d)
+                        # validate the cache invariant instead of
+                        # assuming it: any posting doc_id absent from
+                        # the bucket's doclen array (docs/postings
+                        # drift, bucket-assignment bug) would otherwise
+                        # silently credit a NEIGHBORING doc's score (or
+                        # IndexError past the end) — corrupt ranked
+                        # results are worse than a loud failure
+                        pos_c = (
+                            np.minimum(pos, len(ids) - 1)
+                            if len(ids)
+                            else pos
+                        )
+                        if len(ids) == 0 or not np.array_equal(ids[pos_c], d):
+                            raise ValueError(
+                                "serving doclen cache is missing posting "
+                                f"doc_ids for term {fr['term']!r}: the "
+                                "docs table and the index disagree — "
+                                "rebuild or reload() the engine"
+                            )
+                        pos = pos_c
                         tf = t.astype(np.float64)
                         s = (
                             idf[fr["term"]]

@@ -59,7 +59,19 @@ def incremental_index(
     must cover the id space of all future documents — e.g. 0 .. 2^63
     for hashed ids) so every micro-batch salts identically.
     """
+    import json
+
     paths = IndexPaths(out_dir)
+    # pin the bucket grid in the manifest before any run lands: refresh
+    # propagates it into the stats table so query-time bucket assignment
+    # is arithmetic (same row build_index commits)
+    ckpt.commit(
+        out_dir,
+        partition_id=-4,
+        stage="grid",
+        fingerprint=ckpt.fingerprint_of(lo=lo, span=span, buckets=buckets),
+        path=json.dumps({"lo": int(lo), "span": int(span), "buckets": int(buckets)}),
+    )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         import time
@@ -191,6 +203,7 @@ def refresh_index(
     boolean lookups; docs that index zero terms are then absent, so
     n_docs counts indexed docs only.
     """
+    import json
     import shutil
 
     from pyspark.sql import functions as F
@@ -261,6 +274,19 @@ def refresh_index(
         F.sum("doclen").alias("collection_term_count"),
         F.avg("doclen").alias("avg_doclen"),
     )
+    grid = None  # latest committed bucket grid (build_index / stream start)
+    for r in ckpt.read_manifest(out_dir):
+        if r.get("status") == "committed" and r["stage"] == "grid":
+            ts = float(r.get("ts", 0.0))
+            if grid is None or ts >= grid[0]:
+                grid = (ts, json.loads(r["path"]))
+    if grid is not None:
+        g = grid[1]
+        stats = (
+            stats.withColumn("bucket_lo", F.lit(int(g["lo"])).cast("long"))
+            .withColumn("bucket_span", F.lit(int(g["span"])).cast("long"))
+            .withColumn("bucket_count", F.lit(int(g["buckets"])).cast("int"))
+        )
     stats.write.mode("overwrite").parquet(new_stats)
 
     _commit_snapshot(out_dir, names, version)

@@ -1,0 +1,90 @@
+"""Round-5 serving-scale fixes: arithmetic bucket assignment (stats
+bucket grid, no O(buckets) CASE chain), binary-search prefix
+expansion, doclen-cache membership validation, engine reload()."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from informationretrieval_en_people_cn_spark.functions.codec import decode_frames
+from informationretrieval_en_people_cn_spark.operators.build import build_index
+from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
+
+
+def test_stats_carry_bucket_grid(spark, index_dir):
+    st = spark.read.parquet(f"{index_dir}/stats").collect()[0].asDict()
+    assert st["bucket_count"] == 3 * 2  # slices=3, salt=2 (conftest)
+    assert st["bucket_span"] >= 1
+    eng = SearchEngine(spark, index_dir)
+    assert eng._grid == (st["bucket_lo"], st["bucket_span"], st["bucket_count"])
+
+
+def test_arithmetic_bucket_assignment_hundreds_of_buckets(spark, corpus, tmp_path):
+    """VERDICT r4 #2 done-criterion: the serving init must survive a
+    cluster-scale bucket grid (here 384 buckets over 120 docs — most
+    buckets empty) with the arithmetic assignment agreeing with the
+    build's salting on EVERY posting, and serving results identical to
+    the exhaustive plan."""
+    out = str(tmp_path / "idx384")
+    build_index(spark, corpus, out, slices=24, salt=16, block_size=8)
+    base = SearchEngine(spark, out, cache_term_stats=True, fast_path=False)
+    serv = SearchEngine(
+        spark, out, cache_term_stats=True, fast_path=False, persist_doclens=True
+    )
+    assert serv._grid is not None and serv._grid[2] == 384
+    # every decoded posting doc must land (arithmetically) in the bucket
+    # its index row carries — grid math == build salting, per posting
+    glo, gspan, gn = serv._grid
+    for r in spark.read.parquet(f"{out}/index").collect():
+        d, _, _ = decode_frames(bytes(r.postings))
+        for doc in d:
+            assert min(gn - 1, int(gn * ((int(doc) - glo) / gspan))) == r.bucket
+    for q in ("merge window", "merge AND buffer", "return NOT merg*"):
+        want = [
+            (r.doc_id, getattr(r, "score", None)) for r in base.search(q, 10).collect()
+        ]
+        got = [
+            (r.doc_id, getattr(r, "score", None)) for r in serv.search(q, 10).collect()
+        ]
+        assert got == want, q
+    serv._doclens_cluster.unpersist()
+    serv._bucket_doclens.unpersist()
+
+
+def test_expand_prefix_bisect_equals_linear_scan(spark, index_dir):
+    eng = SearchEngine(spark, index_dir, cache_term_stats=True, fast_path=False)
+    for p in ("par", "m", "merg", "zzz", "", "return"):
+        linear = sorted(t for t in eng.term_stats if t.startswith(p.lower()))
+        assert eng.expand_prefix(p) == linear, p
+    # and equals the no-cache pruned-scan route
+    nostats = SearchEngine(spark, index_dir)
+    for p in ("par", "merg"):
+        assert sorted(nostats.expand_prefix(p)) == eng.expand_prefix(p)
+
+
+def test_doclen_cache_membership_validated(spark, corpus, tmp_path):
+    """ADVICE r4 (medium): a posting doc_id absent from the bucket's
+    cached doclen array must raise loudly, not silently credit a
+    neighboring doc's BM25 accumulator."""
+    out = str(tmp_path / "idxdrift")
+    build_index(spark, corpus, out, slices=2, salt=2, block_size=8)
+    eng = SearchEngine(
+        spark, out, cache_term_stats=True, fast_path=False, persist_doclens=True
+    )
+    # simulate docs/postings drift: rebuild the bucket cache with one
+    # doc missing from every bucket array
+    drifted = (
+        eng._bucket_doclens.select(
+            "bucket",
+            F.slice("dl_ids", 2, 10_000).alias("dl_ids"),
+            F.slice("dl_lens", 2, 10_000).alias("dl_lens"),
+        )
+        .repartition(4, "bucket")
+        .persist()
+    )
+    eng._bucket_doclens.unpersist()
+    eng._bucket_doclens = drifted
+    with pytest.raises(Exception, match="doclen cache is missing"):
+        eng.search("merge window", k=10).collect()
+    drifted.unpersist()
+    eng._doclens_cluster.unpersist()

@@ -674,6 +674,16 @@ def _refreshed_index(spark, sf_dir: str) -> str:
     in_dir = os.path.join(base, "incoming")
     out = os.path.join(base, "idx")
     c1 = documents_as_corpus(spark, sf_dir)
+    # the second batch shifts re-ingested ids by +100000, and the
+    # refresh_topk ORACLE hardcodes the same shift — if base ids ever
+    # reach 100000 (bigger SF) shifted ids would collide with base ids
+    # and the two sides would diverge silently; fail loudly instead
+    max_id = c1.agg(F.max("doc_id").alias("m")).collect()[0].m or 0
+    assert max_id < 100000, (
+        f"refresh fixture id shift would collide: max(doc_id)={max_id} "
+        ">= 100000 — raise the shift in BOTH q_refresh batch 2 and the "
+        "refresh_topk oracle SQL"
+    )
     c2 = c1.filter(F.col("doc_id") % 7 == 3).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
@@ -684,7 +694,13 @@ def _refreshed_index(spark, sf_dir: str) -> str:
             spark.readStream.schema(CORPUS_SCHEMA).parquet(in_dir),
             out, lo=lo, span=span, buckets=8, use_stemmer=False,
         )
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False when the stream is
+        # still running — a refresh over a half-built index would
+        # surface later as an inscrutable oracle mismatch, so fail at
+        # the source instead
+        assert q.awaitTermination(300), (
+            "incremental_index micro-batch did not finish within 300s"
+        )
         refresh_index(spark, out, corpus=corpus_so_far)
     _REFRESH_INDEX[sf_dir] = out
     return out

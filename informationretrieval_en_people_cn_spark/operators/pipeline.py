@@ -464,10 +464,32 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     # plan grows 3^rounds and the DRIVER (not the data) OOMs.  At
     # production scale point sparkContext.setCheckpointDir at durable
     # storage and swap localCheckpoint -> checkpoint for fault tolerance.
+    #
+    # Dataset.unpersist() is a no-op on a localCheckpoint'd frame (its
+    # blocks belong to the checkpointed internal RDD, which the cache
+    # manager never saw), so block release has to happen at the RDD
+    # level: snapshot the JVM persistent-RDD ids around each checkpoint
+    # and unpersist exactly the delta once the NEXT round's snapshot is
+    # materialized (the old blocks are the ONLY copy — freeing them
+    # earlier would make the frame unreadable).
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
+
+    def _release(ids: set[int]) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            jrdd = jmap.get(i)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    before = _persistent_ids()
     labels = edges.groupBy("src").agg(F.min("dst").alias("nbr")).select(
         F.col("src").alias("doc_id"),
         F.least("src", "nbr").alias("cluster_id"),
     ).localCheckpoint(eager=True)
+    labels_blocks = _persistent_ids() - before
     converged = False
     for _ in range(max_iters):
         nbr_min = (
@@ -491,6 +513,7 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
             )
             .select(F.col("jdoc").alias("doc_id"), "jump_label")
         )
+        before = _persistent_ids()
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .join(jump, "doc_id", "left")
@@ -504,6 +527,7 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        new_blocks = _persistent_ids() - before
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -512,10 +536,11 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
             .count()
         )
         # the changed-count job was the last consumer of the previous
-        # snapshot: release its localCheckpoint blocks now rather than
+        # snapshot: release its checkpoint blocks now rather than
         # waiting for driver GC (a long run would otherwise hold one
         # full labels copy per round in block-manager storage)
-        labels.unpersist()
+        _release(labels_blocks)
+        labels_blocks = new_blocks
         labels = new_labels
         if changed == 0:
             converged = True

@@ -62,6 +62,33 @@ def test_expand_prefix_bisect_equals_linear_scan(spark, index_dir):
         assert sorted(nostats.expand_prefix(p)) == eng.expand_prefix(p)
 
 
+def test_dedup_clusters_releases_checkpoint_blocks(spark):
+    """ADVICE r4: Dataset.unpersist() was a no-op on the per-round
+    localCheckpoint snapshots (blocks belong to the internal RDD, never
+    registered with the cache manager).  After the RDD-level release,
+    a converged run must leave at most the FINAL snapshot's blocks
+    persisted — not one labels copy per round."""
+    from informationretrieval_en_people_cn_spark.operators import pipeline as pl
+
+    sc = spark.sparkContext
+
+    def persistent():
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
+
+    # a 64-doc chain: pointer jumping needs several rounds to converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    before = persistent()
+    labels = pl.dedup_clusters(pairs, max_iters=20)
+    leaked = persistent() - before
+    # final snapshot only (its blocks are the caller's live result);
+    # every superseded round's snapshot must be gone
+    assert len(leaked) <= 2, leaked
+    got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(64)}
+
+
 def test_doclen_cache_membership_validated(spark, corpus, tmp_path):
     """ADVICE r4 (medium): a posting doc_id absent from the bucket's
     cached doclen array must raise loudly, not silently credit a

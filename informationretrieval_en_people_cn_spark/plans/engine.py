@@ -108,12 +108,45 @@ class SearchEngine:
         persist_doclens: bool = False,
         decode_repartition_min_sumdf: int = 2_000_000,
     ):
-        from ..operators.build import IndexPaths
-
         self.spark = spark
+        self.index_dir = index_dir
         self.use_stemmer = use_stemmer
         self.k1, self.b = k1, b
-        paths = IndexPaths(index_dir)  # pointer-aware (snapshot commits)
+        self.edges = edges  # (src_doc_id, dst_doc_id) id-lookup relation
+        self.stop_cf_fraction = stop_cf_fraction
+        self.decode_repartition_min_sumdf = decode_repartition_min_sumdf
+        self.fast_max_postings = fast_max_postings
+        # distributed block-max pruning for pure-keyword ranked top-k.
+        # None = auto: with cached term stats, queries whose Σdf crosses
+        # blockmax_min_sumdf take the pruning plan (two extra metadata
+        # round-trips only pay off on big skewed indexes); small queries
+        # keep the 1-job exhaustive plan.  Results identical — tested.
+        self.use_blockmax = use_blockmax
+        self.blockmax_min_sumdf = blockmax_min_sumdf
+        self.last_blockmax: dict | None = None
+        # cache/strategy knobs, kept so reload() can rebuild the same
+        # caches against a new snapshot
+        self._corpus = corpus
+        self._cache_term_stats = cache_term_stats
+        self._cache_doclens = cache_doclens
+        self._cache_content = cache_content
+        self._content_cache_max_bytes = content_cache_max_bytes
+        self._fast_path_req = fast_path
+        self._persist_doclens = persist_doclens
+        self._doclens_cluster = None
+        self._bucket_doclens = None
+        self._load()
+
+    def _load(self) -> None:
+        """Resolve the snapshot pointer and (re)build every
+        snapshot-derived table handle and cache.  Called at construction
+        and by :meth:`reload` after ``refresh_index`` commits a new
+        snapshot."""
+        from ..operators.build import IndexPaths
+
+        spark, corpus = self.spark, self._corpus
+        paths = IndexPaths(self.index_dir)  # pointer-aware (snapshot commits)
+        self.version = paths.version
         self.index = spark.read.parquet(paths.index)
         self.docs = spark.read.parquet(paths.docs)
         # document store for phrase verification: the docs table when it
@@ -154,8 +187,7 @@ class SearchEngine:
         # re-shuffling it per query.
         self._doclens_cluster = None
         self._bucket_doclens = None
-        self.decode_repartition_min_sumdf = decode_repartition_min_sumdf
-        if persist_doclens:
+        if self._persist_doclens:
             n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
             self._doclens_cluster = (
                 self.docs.select("doc_id", "doclen")
@@ -216,15 +248,13 @@ class SearchEngine:
                 .repartition(n_parts, "bucket")
                 .persist()
             )
-        self.edges = edges  # (src_doc_id, dst_doc_id) id-lookup relation
-        self.stop_cf_fraction = stop_cf_fraction
         # optional driver-side term dictionary (term -> (df, cf)): removes
         # the per-query planning jobs (stop-term lookup, rarest-term sort).
         # Feasible while |vocab| fits driver memory — at web scale leave
         # off and planning stays as (pruned, tiny) Spark jobs.
         self.term_stats: dict[str, tuple[int, int]] | None = None
         self._term_arr: list[str] | None = None
-        if cache_term_stats:
+        if self._cache_term_stats:
             self.term_stats = {
                 r.term: (r.df, r.cf)
                 for r in self.index.groupBy("term")
@@ -240,7 +270,7 @@ class SearchEngine:
         # Same memory guard as term_stats — opt in while n_docs fits.
         self._doclen_ids: np.ndarray | None = None
         self._doclen_vals: np.ndarray | None = None
-        if cache_doclens:
+        if self._cache_doclens:
             rows = self.docs.select("doc_id", "doclen").collect()
             ids = np.array([r.doc_id for r in rows], dtype=np.int64)
             vals = np.array([r.doclen for r in rows], dtype=np.int64)
@@ -251,11 +281,11 @@ class SearchEngine:
         # BEFORE the collect (one tiny agg job at init); over budget the
         # cache stays off and phrase-verify keeps its pruned-scan job.
         self._content_cache: dict[int, str] | None = None
-        if cache_content and self.content_df is not None:
+        if self._cache_content and self.content_df is not None:
             total = self.content_df.agg(
                 F.sum(F.length("content")).alias("b")
             ).collect()[0].b
-            if total is not None and total <= content_cache_max_bytes:
+            if total is not None and total <= self._content_cache_max_bytes:
                 self._content_cache = {
                     r.doc_id: (r.content or "").lower()
                     for r in self.content_df.collect()
@@ -264,7 +294,7 @@ class SearchEngine:
         # (pruned) postings — the reference's own execution model, kept
         # behind a Σdf budget; the distributed plan is always the
         # fallback and the default when the caches are absent.
-        self.fast_max_postings = fast_max_postings
+        fast_path = self._fast_path_req
         if fast_path is None:
             fast_path = self.term_stats is not None and self._doclen_ids is not None
         elif fast_path and (self.term_stats is None or self._doclen_ids is None):
@@ -276,14 +306,31 @@ class SearchEngine:
                 "cache_doclens=True (fast scoring needs both caches)"
             )
         self.fast_path = fast_path
-        # distributed block-max pruning for pure-keyword ranked top-k.
-        # None = auto: with cached term stats, queries whose Σdf crosses
-        # blockmax_min_sumdf take the pruning plan (two extra metadata
-        # round-trips only pay off on big skewed indexes); small queries
-        # keep the 1-job exhaustive plan.  Results identical — tested.
-        self.use_blockmax = use_blockmax
-        self.blockmax_min_sumdf = blockmax_min_sumdf
-        self.last_blockmax: dict | None = None
+
+    def reload(self) -> bool:
+        """Re-resolve the snapshot pointer; when ``refresh_index`` has
+        committed a newer version, swap the table handles and rebuild
+        every cache this engine was configured with (term stats,
+        driver doclens, content cache, serving bucket arrays),
+        unpersisting the superseded cluster caches.  Returns True if a
+        new snapshot was loaded, False if already current.
+
+        A long-lived serving engine resolves the pointer ONCE at open;
+        without reload it would keep serving the old version forever —
+        and the refresh after next garbage-collects that version's
+        directories, after which a stale engine breaks.  Call reload()
+        (or poll it) after each refresh; concurrent in-flight queries
+        on the old handles stay safe for exactly one refresh cycle (the
+        GC keeps the immediately-previous version on disk)."""
+        from ..operators.build import IndexPaths
+
+        if IndexPaths(self.index_dir).version == self.version:
+            return False
+        for cached in (self._doclens_cluster, self._bucket_doclens):
+            if cached is not None:
+                cached.unpersist()
+        self._load()
+        return True
 
     # ---- analysis (MUST mirror the build path) -------------------------
     def _q(self, text: str) -> list[str]:

@@ -196,7 +196,16 @@ def refresh_index(
     Only compressed frames move; tokenization never re-runs (doc
     lengths are decoded from the committed runs).  Run inputs come from
     the manifest (see :func:`_run_input_paths`), so stale artifacts on
-    disk are never merged.  ``corpus`` — the source table covering
+    disk are never merged.
+
+    **Long-lived engines must reload():** a ``SearchEngine`` resolves
+    the pointer once at open; after this commit it keeps serving the
+    previous version, whose directories the NEXT refresh garbage-
+    collects (one-version GC window).  Call ``engine.reload()`` after
+    each refresh — an engine left un-reloaded across TWO refreshes is
+    reading deleted paths.
+
+    ``corpus`` — the source table covering
     every indexed doc — enriches the docs table with the corpus columns
     (content for phrase verification, repo / path / lang).  Without it
     the docs table carries (doc_id, doclen) only, which serves ranked +

@@ -62,6 +62,65 @@ def test_expand_prefix_bisect_equals_linear_scan(spark, index_dir):
         assert sorted(nostats.expand_prefix(p)) == eng.expand_prefix(p)
 
 
+def test_serving_engine_reload_after_refresh(spark, corpus, tmp_path):
+    """VERDICT r4 #3: a long-lived serving engine resolves the snapshot
+    pointer once; after refresh_index it must be able to reload() —
+    re-resolve the pointer, swap tables, rebuild the serving caches —
+    and then answer exactly like a freshly opened engine (old cluster
+    caches unpersisted)."""
+    from informationretrieval_en_people_cn_spark.streaming.incremental import (
+        CORPUS_SCHEMA,
+        incremental_index,
+        refresh_index,
+    )
+
+    in_dir = str(tmp_path / "incoming")
+    out = str(tmp_path / "ridx")
+    lo, span = 0, 1 << 62
+    half1 = corpus.filter(F.col("doc_id") % 2 == 0)
+    half2 = corpus.filter(F.col("doc_id") % 2 == 1)
+
+    half1.write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(in_dir)
+    assert incremental_index(
+        stream, out, lo=lo, span=span, buckets=8
+    ).awaitTermination(120)
+    refresh_index(spark, out, corpus=half1)
+
+    eng = SearchEngine(
+        spark, out, cache_term_stats=True, fast_path=False, persist_doclens=True
+    )
+    v1 = eng.version
+    old_bucket_cache = eng._bucket_doclens
+    assert eng.reload() is False  # already current — no-op
+
+    half2.write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(in_dir)
+    assert incremental_index(
+        stream, out, lo=lo, span=span, buckets=8
+    ).awaitTermination(120)
+    refresh_index(spark, out, corpus=corpus)
+
+    assert eng.reload() is True
+    assert eng.version == v1 + 1
+    assert old_bucket_cache.storageLevel.useMemory is False  # released
+    fresh = SearchEngine(
+        spark, out, cache_term_stats=True, fast_path=False, persist_doclens=True
+    )
+    for q in ("merge window", "merge AND buffer", "return NOT merg*"):
+        want = [
+            (r.doc_id, getattr(r, "score", None)) for r in fresh.search(q, 10).collect()
+        ]
+        got = [
+            (r.doc_id, getattr(r, "score", None)) for r in eng.search(q, 10).collect()
+        ]
+        assert got == want, q
+    assert eng.n_docs == fresh.n_docs == corpus.count()
+    for e in (eng, fresh):
+        e._doclens_cluster.unpersist()
+        e._bucket_doclens.unpersist()
+
+
 def test_dedup_clusters_releases_checkpoint_blocks(spark):
     """ADVICE r4: Dataset.unpersist() was a no-op on the per-round
     localCheckpoint snapshots (blocks belong to the internal RDD, never

@@ -181,16 +181,35 @@ QUERY_SUITE = [
     "stream OR vector OR hash",
 ]
 
+# round-5 phrase-inclusive suite (`query-phrase` mode): phrase shapes
+# through the bucket-local POSITIONAL serving plans
+# (phrase_via_positions=True — zero content access; the substring mode
+# is a content-scan workload by construction, in the reference too).
+# Every phrase is two Zipf-head words, so candidate intersections are
+# O(docs) per bucket — the stress case for the vectorized adjacency
+# kernel.  The index stores positions; realistic per-doc tf (REPEAT=1,
+# env-overridable) keeps position payloads at real-corpus shape, and
+# the non-phrase shapes skip the payload via want_positions=False.
+PHRASE_SUITE = [
+    "spark stream value data table",
+    "spark AND merge AND window AND data",
+    "'value table'",
+    "'merge data'",
+    "'value table' OR merge",
+    "merge window 'stream merge'",
+]
 
-def _ensure_index(spark) -> str:
+
+def _ensure_index(spark, positions: bool = False) -> str:
     """Build the shared 1.2M-doc index once (untimed, cached across
     levels and windows — postings are byte-deterministic regardless of
-    parallelism, so both levels query the identical artifact)."""
+    parallelism, so both levels query the identical artifact).
+    ``positions=True`` builds the positional variant (query-phrase
+    mode) under its own cache key."""
     from informationretrieval_en_people_cn_spark.operators.build import build_index
 
-    idx = os.path.join(
-        tempfile.gettempdir(), "ir_scale_index_cache", f"{REPLICATE}_{REPEAT}"
-    )
+    tag = f"{REPLICATE}_{REPEAT}" + ("_pos" if positions else "")
+    idx = os.path.join(tempfile.gettempdir(), "ir_scale_index_cache", tag)
     if not os.path.exists(os.path.join(idx, "stats", "_SUCCESS")):
         shutil.rmtree(idx, ignore_errors=True)
         cache_root = os.path.join(tempfile.gettempdir(), "ir_scale_corpus_cache")
@@ -212,12 +231,12 @@ def _ensure_index(spark) -> str:
         # both query levels; 64 doc-range buckets give either level
         # full parallelism on the merge-grid pruned paths
         build_index(spark, corpus, idx, slices=2, salt=32,
-                    store_positions=False, sorted_input=True,
+                    store_positions=positions, sorted_input=True,
                     store_content=False, index_files=32)
     return idx
 
 
-def query_one(cpus: int) -> dict:
+def query_one(cpus: int, phrase: bool = False) -> dict:
     from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
     from informationretrieval_en_people_cn_spark.session import get_spark
 
@@ -234,15 +253,18 @@ def query_one(cpus: int) -> dict:
         app_name=f"qscaling-{cpus}", cores=cpus, shuffle_partitions=8
     )
     spark.sparkContext.setLogLevel("ERROR")
-    idx = _ensure_index(spark)
+    idx = _ensure_index(spark, positions=phrase)
     # the 100 TB serving shape: distributed plan (fast_path off), term
-    # stats cached for zero-job planning
+    # stats cached for zero-job planning; phrase mode additionally
+    # flips the engine to positional phrase semantics (bucket-local,
+    # no content access)
     eng = SearchEngine(
         spark, idx, cache_term_stats=True, fast_path=False,
         persist_doclens=os.environ.get("SCALING_PERSIST_DOCLENS", "1") == "1",
         decode_repartition_min_sumdf=int(
             os.environ.get("SCALING_DECODE_REPART_MIN", "2000000")
         ),
+        phrase_via_positions=phrase,
     )
     from concurrent.futures import ThreadPoolExecutor
 
@@ -254,12 +276,13 @@ def query_one(cpus: int) -> dict:
         # the driver transfer is capped.
         eng.search(q, k=10).limit(1000).collect()
 
-    batch = [q for _ in range(QUERY_ROUNDS) for q in QUERY_SUITE]
+    suite = PHRASE_SUITE if phrase else QUERY_SUITE
+    batch = [q for _ in range(QUERY_ROUNDS) for q in suite]
     reps = int(os.environ.get("SCALING_REPS", "2"))
     best = None
     with ThreadPoolExecutor(QUERY_CLIENTS) as pool:
         # warm: codegen, py workers, parquet footers, concurrent paths
-        list(pool.map(run, QUERY_SUITE))
+        list(pool.map(run, suite))
         for _ in range(reps):
             t0 = time.time()
             list(pool.map(run, batch))
@@ -329,7 +352,7 @@ def calibrate_one(n: int) -> float:
 
 
 def _build_one(cpus: int, env: dict, mode: str = "build") -> dict:
-    argv = [str(cpus)] if mode == "build" else ["query", str(cpus)]
+    argv = [str(cpus)] if mode == "build" else [mode, str(cpus)]
     cmd = [sys.executable, os.path.abspath(__file__)] + argv
     if shutil.which("taskset"):
         # pin local[N] to N cores: an unpinned local[8] borrows the
@@ -351,20 +374,26 @@ def main():
     and the majority verdict (raw >= 0.8 OR vs-ceiling >= 0.9)."""
     mode = "build"
     args = sys.argv[1:]
-    if args and args[0] == "query":
-        mode, args = "query", args[1:]
+    if args and args[0] in ("query", "query-phrase"):
+        mode, args = args[0], args[1:]
     if args and args[0] == "prep-index":
         # unpinned one-time index build so no pinned window pays it
         from informationretrieval_en_people_cn_spark.session import get_spark
 
         spark = get_spark(app_name="qscaling-prep", cores=32, shuffle_partitions=32)
         spark.sparkContext.setLogLevel("ERROR")
-        print(json.dumps({"index": _ensure_index(spark)}))
+        print(
+            json.dumps(
+                {"index": _ensure_index(spark, positions=mode == "query-phrase")}
+            )
+        )
         spark.stop()
         return
     if args:
-        fn = run_one if mode == "build" else query_one
-        print(json.dumps(fn(int(args[0]))))
+        if mode == "build":
+            print(json.dumps(run_one(int(args[0]))))
+        else:
+            print(json.dumps(query_one(int(args[0]), phrase=mode == "query-phrase")))
         return
     import statistics
 
@@ -374,9 +403,9 @@ def main():
     # noise without stretching the window so far that the interleaved
     # calibration no longer shares its weather
     env.setdefault("SCALING_REPS", "2")
-    if mode == "query":
+    if mode.startswith("query"):
         subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "query", "prep-index"],
+            [sys.executable, os.path.abspath(__file__), mode, "prep-index"],
             check=True, env=env,
         )
     sec_key = "build_sec" if mode == "build" else "suite_sec"
@@ -390,6 +419,8 @@ def main():
             window[f"cal_rate_{cpus}"] = round(cal, 2)
             window[f"{sec_key}_{cpus}"] = r[sec_key]
             window["docs"] = r["docs"]
+            if "queries_per_sec" in r:
+                window[f"qps_{cpus}"] = r["queries_per_sec"]
         speedup = window[f"{sec_key}_8"] / window[f"{sec_key}_32"]
         ceiling = window["cal_rate_32"] / window["cal_rate_8"]
         window["speedup_8_to_32"] = round(speedup, 3)
@@ -403,9 +434,17 @@ def main():
     passing = sum(
         1 for r in rows if r["raw_efficiency"] >= 0.8 or r["eff_vs_ceiling"] >= 0.9
     )
-    print(json.dumps({
-        "workload": "index build" if mode == "build"
-        else f"distributed-plan query suite ({len(QUERY_SUITE)} fat queries)",
+    if mode == "build":
+        workload = "index build"
+    elif mode == "query":
+        workload = f"serving query suite ({len(QUERY_SUITE)} fat keyword/boolean queries)"
+    else:
+        workload = (
+            f"serving query suite incl. phrase shapes ({len(PHRASE_SUITE)} queries, "
+            "positional index, phrase_via_positions serving plans)"
+        )
+    summary = {
+        "workload": workload,
         "protocol": "per-window interleaved calibration: cal8,run8,cal32,run32",
         "windows": rows,
         "median_raw_efficiency": round(statistics.median(raw), 3),
@@ -416,14 +455,37 @@ def main():
         "criterion": "raw>=0.8 OR vs_ceiling>=0.9 in a majority of windows",
         "windows_passing": passing,
         "pass": passing * 2 > len(rows),
-    }))
+    }
+    print(json.dumps(summary))
+    if mode.startswith("query"):
+        # persist per-mode results for bench.py to re-emit each round
+        # (VERDICT r4 #5: serving qps + window verdicts as BENCH keys)
+        summary = dict(summary)
+        summary["docs"] = rows[-1].get("docs") if rows else None
+        for lvl in (8, 32):
+            qps = [r[f"qps_{lvl}"] for r in rows if f"qps_{lvl}" in r]
+            summary[f"qps_{lvl}"] = round(statistics.median(qps), 3) if qps else None
+        summary["recorded"] = time.strftime("%Y-%m-%d %H:%M")
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "serving_scaling.json"
+        )
+        merged = {}
+        if os.path.exists(out_path):
+            try:
+                with open(out_path) as fh:
+                    merged = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                merged = {}
+        merged[mode] = summary
+        with open(out_path, "w") as fh:
+            json.dump(merged, fh, indent=1)
     # the replicated-corpus cache is ~7 GB per level: reclaim /tmp now
     # that all windows are done (re-runs pay the untimed write again)
     shutil.rmtree(
         os.path.join(tempfile.gettempdir(), "ir_scale_corpus_cache"),
         ignore_errors=True,
     )
-    if mode == "query":
+    if mode.startswith("query"):
         shutil.rmtree(
             os.path.join(tempfile.gettempdir(), "ir_scale_index_cache"),
             ignore_errors=True,

@@ -40,6 +40,7 @@ QUERY_SET = {
     "q_bool_or": "spark OR 'value table'",
     "q_prefix": "par*",
     "q_phrase_prefix": "'value ta'*",
+    "q_ranked_mixed": "merge window 'value table'",
 }
 
 
@@ -112,7 +113,13 @@ def main() -> None:
     engine_serving = SearchEngine(
         spark, out, cache_term_stats=True, fast_path=False, persist_doclens=True
     )
-    for name in ("q_ranked_3term", "q_bool_and4", "q_bool_not"):
+    # round 5: phrase / phrase-prefix / OR-with-phrase / mixed-ranked
+    # shapes are serving-covered too (bucket-local candidates + routed
+    # verify; results bit-identical to the _dist twins — tested)
+    for name in (
+        "q_ranked_3term", "q_bool_and4", "q_bool_not",
+        "q_phrase", "q_phrase_prefix", "q_bool_or", "q_ranked_mixed",
+    ):
         q = QUERY_SET[name]
         runs = []
         for _ in range(2):
@@ -275,6 +282,37 @@ def main() -> None:
         }
     )
     shutil.rmtree(skew_dir, ignore_errors=True)
+
+    # serving-throughput protocol summary (VERDICT r4 #5): the 19.2M-doc
+    # two-parallelism closed-loop suite takes hours, so it runs out of
+    # band (python BENCH/scaling.py query — writes
+    # BENCH/serving_scaling.json); its qps + window verdicts are
+    # re-emitted here so every BENCH_r{N}.json carries them and a
+    # regression is mechanical to spot against the recorded run.
+    scaling_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "serving_scaling.json"
+    )
+    if os.path.exists(scaling_file):
+        with open(scaling_file) as fh:
+            by_mode = json.load(fh)
+        for mode, prefix in (("query", "serving"), ("query-phrase", "serving_phrase")):
+            ss = by_mode.get(mode)
+            if not ss:
+                continue
+            extras.update(
+                {
+                    f"{prefix}_qps_8": ss.get("qps_8"),
+                    f"{prefix}_qps_32": ss.get("qps_32"),
+                    f"{prefix}_windows_passing": ss.get("windows_passing"),
+                    f"{prefix}_windows_total": len(ss.get("windows", [])),
+                    f"{prefix}_scaling_pass": ss.get("pass"),
+                    f"{prefix}_median_eff_vs_ceiling": ss.get(
+                        "median_eff_vs_ceiling"
+                    ),
+                    f"{prefix}_scaling_docs": ss.get("docs"),
+                    f"{prefix}_scaling_recorded": ss.get("recorded"),
+                }
+            )
 
     total = round(time.time() - t_all, 3)
     print(

@@ -127,7 +127,7 @@ def q_term_stats(spark, sf_dir):
         for pdf in batches:
             terms, dfs, cfs = [], [], []
             for term, frame in zip(pdf["term"], pdf["frame"]):
-                d, t, _ = decode_frames(frame)
+                d, t, _ = decode_frames(frame, want_positions=False)
                 terms.append(term)
                 dfs.append(len(d))
                 cfs.append(int(t.sum()))

@@ -111,13 +111,19 @@ def encode_frame(
     return header + vb_encode(gaps) + vb_encode(tfs) + pos_bytes
 
 
-def decode_frames(buf: bytes):
+def decode_frames(buf: bytes, want_positions: bool = True):
     """Decode a concatenation of frames.
 
     Returns ``(doc_ids, tfs, positions)`` as uint64 arrays; positions is
     empty when frames were encoded tf-only. doc_ids ascend globally when
     frames were produced from disjoint ascending doc ranges (the build
     invariant).
+
+    ``want_positions=False`` SKIPS the position payload (the frame
+    header makes its byte length computable from Σtf without decoding):
+    on a positional index, non-positional plans — keyword, boolean,
+    BM25 — pay only the byte scan, not the (≈Σdoclen-sized)
+    position-list materialization.  Positions come back empty.
     """
     b = np.frombuffer(buf, dtype=np.uint8)
     all_docs, all_tfs, all_pos = [], [], []
@@ -149,6 +155,9 @@ def decode_frames(buf: bytes):
             npos = int(tfs.sum())
             i = np.searchsorted(val_ends, off)
             p_end = val_ends[i + npos - 1]
+            if not want_positions:  # skip the payload, keep the offset
+                off = p_end + 1
+                continue
             pgaps = vb_decode(b[off : p_end + 1])
             off = p_end + 1
             # undo doc-major delta: cumsum within each doc run

@@ -336,7 +336,7 @@ def _doclens_from_runs(runs: DataFrame) -> DataFrame:
         for pdf in batches:
             docs_out, tfs_out = [], []
             for frame in pdf["frame"]:
-                d, t, _ = decode_frames(bytes(frame))
+                d, t, _ = decode_frames(bytes(frame), want_positions=False)
                 docs_out.append(d.astype(np.int64))
                 tfs_out.append(t.astype(np.int64))
             if docs_out:

@@ -57,7 +57,7 @@ def decode_postings_df(index_rows: DataFrame) -> DataFrame:
         for pdf in batches:
             frames = []
             for term, buf in zip(pdf["term"], pdf["postings"]):
-                d, t, _ = decode_frames(buf)
+                d, t, _ = decode_frames(buf, want_positions=False)
                 frames.append(
                     pd.DataFrame(
                         {
@@ -80,6 +80,156 @@ def bm25_idf(n_docs: int, df: int) -> float:
 class _FastFallback(Exception):
     """Raised when a query exceeds the fast path's Σdf budget — the
     caller falls back to the distributed plan."""
+
+
+class _ServingFallback(Exception):
+    """Raised during serving-plan compilation when a leaf cannot be
+    served bucket-locally (reply_to, missing caches, or a substring
+    phrase whose verified set exceeds the collect budget) — the
+    dispatcher falls back to the distributed plan."""
+
+
+_EMPTY_IDS = np.empty(0, dtype=np.int64)
+
+
+class _BucketFrames:
+    """One bucket's decoded term frames (built inside the serving
+    kernels' mapInPandas).  Gives docID sets per term and, for indexes
+    built with ``store_positions=True``, per-(term, doc) position
+    lists — everything the bucket-local boolean/phrase/DAAT evaluation
+    needs, decoded once from the shuffled compressed frames.
+
+    ``pos_terms`` selects which terms' position payloads are decoded:
+    on a positional index every frame CARRIES positions (≈ Σtf values),
+    but only phrase-leaf terms need them materialized — for everything
+    else the codec skips the payload (want_positions=False), so
+    keyword / boolean / DAAT plans on a positional index pay the byte
+    scan, not the position decode."""
+
+    def __init__(self, frames, pos_terms: frozenset | None = None):
+        self.by_term: dict[str, list] = {}
+        for fr in frames:
+            term = fr["term"]
+            want = pos_terms is None or term in pos_terms
+            d, t, p = decode_frames(bytes(fr["postings"]), want_positions=want)
+            d = d.astype(np.int64)
+            tl = t.astype(np.int64)
+            ends = np.cumsum(tl)
+            self.by_term.setdefault(term, []).append(
+                (d, tl, p.astype(np.int64), ends - tl, ends)
+            )
+
+    def ids(self, term: str) -> np.ndarray:
+        fl = self.by_term.get(term)
+        if not fl:
+            return _EMPTY_IDS
+        if len(fl) == 1:
+            return fl[0][0]
+        return np.unique(np.concatenate([f[0] for f in fl]))
+
+    def union_ids(self, terms: list[str]) -> np.ndarray:
+        arrs = [a for a in (self.ids(t) for t in set(terms)) if a.size]
+        if not arrs:
+            return _EMPTY_IDS
+        if len(arrs) == 1:
+            return arrs[0]
+        return np.unique(np.concatenate(arrs))
+
+    def doc_pos_keys(self, term: str, cand: np.ndarray) -> np.ndarray:
+        """(doc, position) pairs of ``term`` restricted to the sorted
+        candidate docs ``cand``, packed as ``idx(cand)·2³² + position``
+        int64 keys (positions are bounded by doclen ≪ 2³²).  Sorted
+        ascending — the vectorized adjacency chain operates on these.
+        Raises if the index was built without positions."""
+        out = []
+        for d, tl, p, starts, ends in self.by_term.get(term, ()):
+            loc = np.searchsorted(cand, d)
+            sel = (loc < cand.size) & (cand[np.minimum(loc, cand.size - 1)] == d)
+            cnt = tl[sel]
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            if p.size == 0:
+                raise ValueError(
+                    "positional phrase query needs an index built "
+                    "with store_positions=True"
+                )
+            st = starts[sel]
+            offs = np.cumsum(cnt) - cnt
+            flat = np.repeat(st - offs, cnt) + np.arange(total)
+            keys = np.repeat(loc[sel], cnt) * _POS_SHIFT + p[flat]
+            out.append(keys)
+        if not out:
+            return _EMPTY_IDS
+        if len(out) == 1:
+            return out[0]  # docs ascend, positions ascend per doc
+        return np.unique(np.concatenate(out))
+
+
+_POS_SHIFT = np.int64(1) << np.int64(32)
+
+
+def _pos_phrase_bucket_ids(
+    bf: _BucketFrames, seq: list[str], sfx_terms: list[str] | None
+) -> np.ndarray:
+    """Bucket-local positional phrase(+prefix) match — the same per-doc
+    adjacency semantics as phrase_docids_positional's verify, fully
+    vectorized: candidate docs = intersection of the phrase terms'
+    posting sets; adjacency runs over packed (doc, position) int64 keys
+    (+1 on the key = next position in the SAME doc, so one np.isin per
+    phrase slot replaces the per-doc python loop)."""
+    cand = None
+    for t in set(seq):
+        ids = bf.ids(t)
+        cand = ids if cand is None else np.intersect1d(cand, ids)
+        if cand.size == 0:
+            return _EMPTY_IDS
+    keys: dict[str, np.ndarray] = {}
+    for t in set(seq) | set(sfx_terms or ()):
+        keys[t] = bf.doc_pos_keys(t, cand)
+    cur = keys[seq[0]]
+    for i, t in enumerate(seq[1:], start=1):
+        cur = cur[np.isin(cur + i, keys[t])]
+        if cur.size == 0:
+            return _EMPTY_IDS
+    if sfx_terms is not None:
+        sk = [keys[t] for t in set(sfx_terms) if keys[t].size]
+        if not sk:
+            return _EMPTY_IDS
+        sks = sk[0] if len(sk) == 1 else np.unique(np.concatenate(sk))
+        cur = cur[np.isin(cur + len(seq), sks)]
+        if cur.size == 0:
+            return _EMPTY_IDS
+    return cand[np.unique(cur >> np.int64(32))]
+
+
+def _leaf_bucket_ids(bf: _BucketFrames, spec: tuple, bucket: int) -> np.ndarray:
+    kind = spec[0]
+    if kind == "terms":
+        return bf.union_ids(spec[1])
+    if kind == "ids":  # pre-verified substring-phrase docs, per bucket
+        return spec[1].get(bucket, _EMPTY_IDS)
+    if kind == "pos_phrase":
+        return _pos_phrase_bucket_ids(bf, spec[1], spec[2])
+    raise ValueError(kind)
+
+
+def _eval_bucket_tree(bf: _BucketFrames, tree: list, bucket: int) -> np.ndarray:
+    """OR-of-ANDs over bucket-local leaf id sets (doc membership is
+    bucket-local, so per-bucket set algebra composes exactly)."""
+    res = None
+    for leaves in tree:
+        acc = None
+        for spec, negated in leaves:
+            li = _leaf_bucket_ids(bf, spec, bucket)
+            if acc is None:
+                acc = li
+            elif negated:
+                acc = np.setdiff1d(acc, li)
+            else:
+                acc = np.intersect1d(acc, li)
+        res = acc if res is None else np.union1d(res, acc)
+    return res if res is not None else _EMPTY_IDS
 
 
 class SearchEngine:
@@ -107,6 +257,8 @@ class SearchEngine:
         blockmax_min_sumdf: int = 5_000_000,
         persist_doclens: bool = False,
         decode_repartition_min_sumdf: int = 2_000_000,
+        phrase_via_positions: bool = False,
+        serving_phrase_collect_max: int = 200_000,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -124,6 +276,18 @@ class SearchEngine:
         self.use_blockmax = use_blockmax
         self.blockmax_min_sumdf = blockmax_min_sumdf
         self.last_blockmax: dict | None = None
+        # phrase semantics switch: False (default) = the reference's
+        # literal-substring verification against the document store;
+        # True = TRUE positional matching on the stored position lists
+        # (requires store_positions=True at build).  Positional phrase
+        # matching is doc-local, hence bucket-local — with it the
+        # serving plans answer phrase shapes with zero content access.
+        self.phrase_via_positions = phrase_via_positions
+        # substring-mode serving: a phrase leaf's verified ids are
+        # collected and joined bucket-locally; bounded by the rarest
+        # phrase term's df — over this budget the query falls back to
+        # the distributed plan
+        self.serving_phrase_collect_max = serving_phrase_collect_max
         # cache/strategy knobs, kept so reload() can rebuild the same
         # caches against a new snapshot
         self._corpus = corpus
@@ -603,8 +767,14 @@ class SearchEngine:
         if leaf.kind == "prefix":
             return self.prefix_docids(leaf.value)
         if leaf.kind == "phrase":
+            if self.phrase_via_positions and self._q(leaf.value):
+                return self.phrase_docids_positional(leaf.value)
             return self.phrase_docids(leaf.value)
         if leaf.kind == "phrase_prefix":
+            if self.phrase_via_positions and self._q(leaf.value):
+                return self.phrase_prefix_docids_positional(
+                    leaf.value, leaf.suffix
+                )
             return self.phrase_docids(leaf.value, leaf.suffix)
         if leaf.kind == "reply_to":
             return self.reply_to_docids(leaf.value)
@@ -624,6 +794,86 @@ class SearchEngine:
             or_result = acc if or_result is None else or_result.unionByName(acc)
         return or_result.distinct()
 
+    def _serving_leaf(self, leaf: qt.Leaf) -> tuple[tuple, set, bool]:
+        """Compile one query leaf for the bucket-local serving kernels.
+
+        Returns ``(spec, frame_terms, needs_positions)`` where spec is
+        one of ``("terms", [t...])`` (keyword / prefix / degenerate
+        phrase), ``("pos_phrase", seq, sfx_terms|None)`` (positional
+        phrase matching, phrase_via_positions=True), or
+        ``("ids", {bucket: doc_ids})`` (substring-verified phrase,
+        pre-computed via :meth:`phrase_docids_bucketed` and joined
+        bucket-locally).  Raises :class:`_ServingFallback` when the
+        leaf cannot be served bucket-locally (reply_to; phrase without
+        cached stats / content; verified set over the collect budget)."""
+        if leaf.kind == "keyword":
+            t = self._q(leaf.value)
+            return ("terms", t), set(t), False
+        if leaf.kind == "prefix":
+            t = self.expand_prefix(leaf.value)
+            return ("terms", t), set(t), False
+        if leaf.kind in ("phrase", "phrase_prefix"):
+            sfx = leaf.suffix if leaf.kind == "phrase_prefix" else ""
+            seq = self._q(leaf.value)
+            if not seq:  # phrase analyzed away: prefix semantics
+                t = self.expand_prefix(sfx) if sfx else []
+                return ("terms", t), set(t), False
+            if self.phrase_via_positions:
+                sfx_terms = self.expand_prefix(sfx) if sfx else None
+                if sfx and not sfx_terms:  # suffix matches no term
+                    return ("terms", []), set(), False
+                ft = set(seq) | set(sfx_terms or ())
+                return ("pos_phrase", seq, sfx_terms), ft, True
+            ids_by_bucket, rare = self._phrase_ids_by_bucket(leaf.value, sfx)
+            # the rarest term's frames anchor the leaf's buckets: every
+            # verified doc holds that term, so its posting frames exist
+            # in exactly the buckets the kernel must visit — without
+            # them a bucket with only ids-leaf docs would never be
+            # evaluated and those docs silently dropped
+            return ("ids", ids_by_bucket), set(rare), False
+        raise _ServingFallback(leaf.kind)
+
+    def _bucketed_eval(
+        self, tree: list, frame_terms: set[str]
+    ) -> DataFrame:
+        """Run the compiled OR-of-ANDs tree bucket-locally: shuffle only
+        the leaves' compressed frames, evaluate per-bucket numpy set
+        algebra (see _eval_bucket_tree), return the doc_id relation.
+        Buckets are disjoint doc ranges, so no global distinct is
+        needed."""
+        import pandas as pd
+
+        if not frame_terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        joined = (
+            self._index_rows(sorted(frame_terms))
+            .groupBy("bucket")
+            .agg(F.collect_list(F.struct("term", "postings")).alias("frames"))
+            .select("bucket", "frames")
+        )
+
+        pos_terms = frozenset(
+            t
+            for leaves in tree
+            for spec, _ in leaves
+            if spec[0] == "pos_phrase"
+            for t in list(spec[1]) + list(spec[2] or ())
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                outs = []
+                for bucket, frames in zip(pdf["bucket"], pdf["frames"]):
+                    res = _eval_bucket_tree(
+                        _BucketFrames(frames, pos_terms), tree, int(bucket)
+                    )
+                    if res.size:
+                        outs.append(res)
+                if outs:
+                    yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+
+        return joined.mapInPandas(gen, "doc_id long")
+
     def boolean_docids_bucketed(self, node: qt.OrNode) -> DataFrame:
         """Bucket-local boolean algebra — the serving-mode twin of
         :meth:`score_terms_bucketed`.  Doc membership is bucket-local
@@ -631,75 +881,183 @@ class SearchEngine:
         per-bucket numpy set ops compose to the exact global result:
         AND = intersect, NOT = setdiff, OR = union, keyword = union of
         its analyzed terms' postings, prefix = union of its dictionary
-        expansion.  Only the leaves' compressed frames shuffle; the
+        expansion, phrase = positional in-bucket match
+        (phrase_via_positions) or pre-verified substring ids joined by
+        bucket.  Only the leaves' compressed frames shuffle; the
         decoded-id shuffles + semi-joins of :meth:`boolean_docids`
-        disappear.  Keyword/prefix leaves only (caller guards)."""
-        import pandas as pd
-
-        tree: list[list[tuple[list[str], bool]]] = []
-        all_terms: set[str] = set()
+        disappear.  Raises _ServingFallback for shapes it cannot serve
+        (the dispatcher falls back to the distributed plan)."""
+        # single positive substring-phrase leaf: the standalone bucketed
+        # phrase plan answers in one candidate job + one verify scan —
+        # no pre-collect, no budget
+        if (
+            not self.phrase_via_positions
+            and self.term_stats is not None
+            and len(node.children) == 1
+            and len(node.children[0].children) == 1
+        ):
+            c = node.children[0].children[0]
+            if c.kind in ("phrase", "phrase_prefix") and self._q(c.value):
+                sfx = c.suffix if c.kind == "phrase_prefix" else ""
+                return self.phrase_docids_bucketed(c.value, sfx).select("doc_id")
+        tree: list[list[tuple[tuple, bool]]] = []
+        frame_terms: set[str] = set()
         for and_node in node.children:
             leaves = []
             for c in and_node.children:
-                terms = (
-                    self._q(c.value)
-                    if c.kind == "keyword"
-                    else self.expand_prefix(c.value)
-                )
-                leaves.append((terms, c.negated))
-                all_terms.update(terms)
+                spec, ft, _ = self._serving_leaf(c)
+                leaves.append((spec, c.negated))
+                frame_terms.update(ft)
             # positives first (the parser guarantees at least one)
             leaves.sort(key=lambda x: x[1])
             tree.append(leaves)
-        if not all_terms:
-            return self.spark.createDataFrame([], "doc_id long")
+        return self._bucketed_eval(tree, frame_terms)
+
+    def _phrase_bucketed_cand(self, rare: list[str]) -> DataFrame:
+        """Bucket-local phrase candidates: intersect the (≤2) rarest
+        phrase terms' posting sets per bucket.  Only the rare terms'
+        compressed frames shuffle — the decoded-id shuffle + semi-join
+        of the distributed plan disappears.  Returns (bucket, doc_id)."""
+        import pandas as pd
+
+        nrare = len(set(rare))
         joined = (
-            self._index_rows(sorted(all_terms))
+            self._index_rows(rare)
             .groupBy("bucket")
             .agg(F.collect_list(F.struct("term", "postings")).alias("frames"))
-            .select("frames")
+            .select("bucket", "frames")
         )
 
         def gen(batches):
-            empty = np.empty(0, dtype=np.int64)
             for pdf in batches:
-                outs = []
-                for frames in pdf["frames"]:
-                    by_term: dict[str, np.ndarray] = {}
-                    for fr in frames:
-                        d, _, _ = decode_frames(bytes(fr["postings"]))
-                        d = d.astype(np.int64)
-                        prev = by_term.get(fr["term"])
-                        by_term[fr["term"]] = (
-                            d if prev is None else np.union1d(prev, d)
+                b_out, d_out = [], []
+                for bucket, frames in zip(pdf["bucket"], pdf["frames"]):
+                    bf = _BucketFrames(frames, frozenset())
+                    if len(bf.by_term) < nrare:
+                        continue
+                    inter = None
+                    for t in bf.by_term:
+                        ids = bf.ids(t)
+                        inter = ids if inter is None else np.intersect1d(inter, ids)
+                    if inter is not None and inter.size:
+                        d_out.append(inter)
+                        b_out.append(
+                            np.full(inter.size, int(bucket), dtype=np.int32)
                         )
+                if d_out:
+                    yield pd.DataFrame(
+                        {
+                            "bucket": np.concatenate(b_out),
+                            "doc_id": np.concatenate(d_out),
+                        }
+                    )
 
-                    def leaf_ids(terms):
-                        arrs = [by_term[t] for t in terms if t in by_term]
-                        if not arrs:
-                            return empty
-                        if len(arrs) == 1:
-                            return arrs[0]
-                        return np.unique(np.concatenate(arrs))
+        return joined.mapInPandas(gen, "bucket int, doc_id long")
 
-                    res = None
-                    for leaves in tree:
-                        acc = None
-                        for terms, negated in leaves:
-                            li = leaf_ids(terms)
-                            if acc is None:
-                                acc = li
-                            elif negated:
-                                acc = np.setdiff1d(acc, li)
-                            else:
-                                acc = np.intersect1d(acc, li)
-                        res = acc if res is None else np.union1d(res, acc)
-                    if res is not None and res.size:
-                        outs.append(res)
-                if outs:
-                    yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+    def phrase_docids_bucketed(self, phrase: str, suffix: str = "") -> DataFrame:
+        """Serving twin of :meth:`phrase_docids` (same substring
+        semantics, bit-identical results — tested): candidate
+        generation is bucket-local (compressed frames only), then the
+        identical df-routed substring verify.  Returns (bucket, doc_id)
+        so serving callers can compose bucket-locally.  Requires cached
+        term stats; degenerate no-term phrases raise _ServingFallback
+        (the dispatcher's prefix route handles them)."""
+        terms = self._q(phrase)
+        needle = f"{phrase} {suffix}".strip().lower()
+        if self.term_stats is None:
+            raise _ServingFallback("phrase serving needs cached term stats")
+        if not terms:
+            raise _ServingFallback("degenerate phrase (prefix semantics)")
+        empty = self.spark.createDataFrame([], "bucket int, doc_id long")
+        if any(t not in self.term_stats for t in set(terms)):
+            return empty
+        rare = sorted(set(terms), key=lambda t: self.term_stats[t][0])[:2]
+        cand = self._phrase_bucketed_cand(rare)
+        if self.content_df is None:
+            raise ValueError(
+                "phrase verification needs a document store: docs table "
+                "has no content column and no corpus was provided"
+            )
+        # verify-scan routing identical to phrase_docids (df-guarded)
+        contains = F.contains(F.lower("content"), F.lit(needle))
+        min_df = min(self.term_stats[t][0] for t in rare)
+        if min_df <= 1000:
+            pairs = cand.collect()
+            if not pairs:
+                return empty
+            small = self.spark.createDataFrame(
+                [(int(r.bucket), int(r.doc_id)) for r in pairs],
+                "bucket int, doc_id long",
+            )
+            ver = self.content_df.filter(
+                F.col("doc_id").isin([int(r.doc_id) for r in pairs])
+            ).filter(contains).select("doc_id")
+            return ver.join(F.broadcast(small), "doc_id").select("bucket", "doc_id")
+        if min_df <= 2_000_000:
+            return (
+                self.content_df.join(F.broadcast(cand), "doc_id")
+                .filter(contains)
+                .select("bucket", "doc_id")
+            )
+        return (
+            cand.join(self.content_df, "doc_id")
+            .filter(contains)
+            .select("bucket", "doc_id")
+        )
 
-        return joined.mapInPandas(gen, "doc_id long")
+    def _phrase_ids_by_bucket(
+        self, phrase: str, suffix: str = ""
+    ) -> tuple[dict[int, np.ndarray], list[str]]:
+        """Substring-phrase leaf for the serving kernels: verified doc
+        ids grouped by bucket (collected under the budget — bounded by
+        the rarest term's df) + the rare terms whose frames anchor the
+        leaf's buckets.  Raises _ServingFallback over budget."""
+        if self.term_stats is None or self.content_df is None:
+            raise _ServingFallback("phrase serving needs stats + content")
+        terms = self._q(phrase)
+        tset = set(terms)
+        if any(t not in self.term_stats for t in tset):
+            return {}, []
+        rare = sorted(tset, key=lambda t: self.term_stats[t][0])[:2]
+        if min(self.term_stats[t][0] for t in rare) > self.serving_phrase_collect_max:
+            raise _ServingFallback("phrase verified set over collect budget")
+        acc: dict[int, list[int]] = {}
+        for r in self.phrase_docids_bucketed(phrase, suffix).collect():
+            acc.setdefault(int(r.bucket), []).append(int(r.doc_id))
+        return (
+            {b: np.array(sorted(v), dtype=np.int64) for b, v in acc.items()},
+            rare,
+        )
+
+    def phrase_docids_positional_bucketed(self, phrase: str) -> DataFrame:
+        """Bucket-local positional phrase matching: the fully serving-
+        native phrase plan — only the phrase terms' compressed frames
+        shuffle, candidates intersect and position-verify inside each
+        bucket, zero content access.  Results identical to
+        :meth:`phrase_docids_positional` (tested)."""
+        seq = self._q(phrase)
+        if not seq:
+            return self.spark.createDataFrame([], "doc_id long")
+        return self._bucketed_eval(
+            [[(("pos_phrase", seq, None), False)]], set(seq)
+        )
+
+    def phrase_prefix_docids_positional_bucketed(
+        self, phrase: str, suffix: str
+    ) -> DataFrame:
+        """Bucket-local positional phrase-prefix (serving twin of
+        :meth:`phrase_prefix_docids_positional`, results identical —
+        tested)."""
+        seq = self._q(phrase)
+        if not seq:
+            return self.prefix_docids(suffix)
+        sfx_terms = self.expand_prefix(suffix)
+        if not sfx_terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        return self._bucketed_eval(
+            [[(("pos_phrase", seq, sfx_terms), False)]],
+            set(seq) | set(sfx_terms),
+        )
 
     # ---- ranked retrieval (Q7) ------------------------------------------
     def expand_prefix(self, prefix: str) -> list[str]:
@@ -911,7 +1269,9 @@ class SearchEngine:
                     # summation order of _score_rows (each doc gets at
                     # most one posting per term)
                     for fr in sorted(frames, key=lambda f: f["term"]):
-                        d, t, _ = decode_frames(bytes(fr["postings"]))
+                        d, t, _ = decode_frames(
+                            bytes(fr["postings"]), want_positions=False
+                        )
                         pos = np.searchsorted(ids, d)
                         # validate the cache invariant instead of
                         # assuming it: any posting doc_id absent from
@@ -954,6 +1314,115 @@ class SearchEngine:
         scored = joined.mapInPandas(gen, "doc_id long, score double")
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k else out
+
+    def ranked_bucketed(
+        self, node: qt.RankedNode, terms: list[str], k: int
+    ) -> DataFrame:
+        """Serving plan for MIXED-leaf ranked queries (phrase / prefix
+        leaves alongside keywords): candidates = union of leaf results,
+        scored by BM25 over the query terms with 0.0 for candidates
+        none of whose terms survived — the exact semantics of the
+        distributed mixed path (candidates left-joined onto scores),
+        computed bucket-locally in ONE frames-shuffle job: per bucket,
+        accumulate term-sorted scores over the cached doclen arrays,
+        take the union of leaf id sets, emit (candidate, accumulated
+        score — zeros fall out of the untouched accumulator).  Global
+        top-k = TakeOrderedAndProject.  Bit-identical to the
+        distributed plan (same canonical float64 summation order —
+        tested).  Raises _ServingFallback for unserveable leaves."""
+        import pandas as pd
+
+        specs: list[tuple] = []
+        frame_terms: set[str] = set()
+        for leaf in node.children:
+            spec, ft, _ = self._serving_leaf(leaf)
+            specs.append(spec)
+            frame_terms.update(ft)
+        scoring = sorted(
+            {t for t in terms if self.term_stats.get(t, (0, 0))[0] > 0}
+        )
+        idf = {t: bm25_idf(self.n_docs, self.term_stats[t][0]) for t in scoring}
+        all_terms = sorted(frame_terms | set(scoring))
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not all_terms:
+            return empty
+        k1, b, avgdl = self.k1, self.b, self.avgdl
+        scoring_set = frozenset(scoring)
+        pos_terms = frozenset(
+            t
+            for spec in specs
+            if spec[0] == "pos_phrase"
+            for t in list(spec[1]) + list(spec[2] or ())
+        )
+
+        joined = (
+            self._index_rows(all_terms)
+            .groupBy("bucket")
+            .agg(F.collect_list(F.struct("term", "postings")).alias("frames"))
+            .join(self._bucket_doclens, "bucket")
+            .select("bucket", "frames", "dl_ids", "dl_lens")
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                out_d, out_s = [], []
+                for bucket, frames, dl_ids, dl_lens in zip(
+                    pdf["bucket"], pdf["frames"], pdf["dl_ids"], pdf["dl_lens"]
+                ):
+                    bf = _BucketFrames(frames, pos_terms)
+                    ids = np.asarray(dl_ids, dtype=np.int64)
+                    lens = np.asarray(dl_lens, dtype=np.float64)
+                    if len(ids) == 0:
+                        continue
+                    acc = np.zeros(len(ids))
+                    # term-sorted accumulation == the canonical float64
+                    # summation order of _score_rows / _ranked_fast
+                    for t in sorted(scoring_set.intersection(bf.by_term)):
+                        for d, tl, _, _, _ in bf.by_term[t]:
+                            pos = np.minimum(
+                                np.searchsorted(ids, d), len(ids) - 1
+                            )
+                            if not np.array_equal(ids[pos], d):
+                                raise ValueError(
+                                    "serving doclen cache is missing "
+                                    f"posting doc_ids for term {t!r}: "
+                                    "the docs table and the index "
+                                    "disagree — rebuild or reload() "
+                                    "the engine"
+                                )
+                            tf = tl.astype(np.float64)
+                            acc[pos] += (
+                                idf[t]
+                                * (tf * (k1 + 1))
+                                / (tf + k1 * (1 - b + b * lens[pos] / avgdl))
+                            )
+                    cand = None
+                    for spec in specs:
+                        li = _leaf_bucket_ids(bf, spec, int(bucket))
+                        cand = (
+                            li if cand is None else np.union1d(cand, li)
+                        )
+                    if cand is None or cand.size == 0:
+                        continue
+                    cpos = np.minimum(np.searchsorted(ids, cand), len(ids) - 1)
+                    if not np.array_equal(ids[cpos], cand):
+                        raise ValueError(
+                            "serving doclen cache is missing candidate "
+                            "doc_ids: the docs table and the index "
+                            "disagree — rebuild or reload() the engine"
+                        )
+                    out_d.append(cand)
+                    out_s.append(acc[cpos])
+                if out_d:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(out_d),
+                            "score": np.concatenate(out_s),
+                        }
+                    )
+
+        scored = joined.mapInPandas(gen, "doc_id long, score double")
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def score_terms_blockmax(self, terms: list[str], k: int) -> DataFrame:
         """Distributed top-k with bucket-grid block-max pruning.
@@ -1057,14 +1526,22 @@ class SearchEngine:
 
     def ranked(self, node: qt.RankedNode, raw_query: str, k: int = 10) -> DataFrame:
         terms = self._query_terms(raw_query)
+        serving = self._bucket_doclens is not None and self.term_stats is not None
         if all(leaf.kind == "keyword" for leaf in node.children):
             # serving mode: bucket-local DAAT moves only compressed
             # frames (see score_terms_bucketed) — strictly less shuffle
             # than both the decoded-join and block-max plans
-            if self._bucket_doclens is not None and self.term_stats is not None:
+            if serving:
                 return self.score_terms_bucketed(terms, k)
             if self._want_blockmax(terms):
                 return self.score_terms_blockmax(terms, k)
+        elif serving:
+            # mixed-leaf serving: one frames-shuffle job scores AND
+            # resolves phrase/prefix candidates bucket-locally
+            try:
+                return self.ranked_bucketed(node, terms, k)
+            except _ServingFallback:
+                pass  # reply_to leaf / over-budget phrase: distributed
         scored = self.score_terms(terms)
         # candidates = union of leaf results (reference SearchEngine.py:274-276);
         # differs from plain disjunctive BM25 when leaves are phrases.
@@ -1115,7 +1592,7 @@ class SearchEngine:
             return []
         postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for r in rows:  # concat the term's doc-range-disjoint shards
-            d, t, _ = decode_frames(bytes(r.postings))
+            d, t, _ = decode_frames(bytes(r.postings), want_positions=False)
             if r.term in postings:
                 d0, t0 = postings[r.term]
                 d, t = np.concatenate([d0, d]), np.concatenate([t0, t])
@@ -1159,7 +1636,7 @@ class SearchEngine:
         rows = self._index_rows(uniq).select("term", "postings").collect()
         postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for r in rows:  # concat the term's doc-range-disjoint shards
-            d, t, _ = decode_frames(bytes(r.postings))
+            d, t, _ = decode_frames(bytes(r.postings), want_positions=False)
             if r.term in postings:
                 d0, t0 = postings[r.term]
                 d, t = np.concatenate([d0, d]), np.concatenate([t0, t])
@@ -1349,19 +1826,33 @@ class SearchEngine:
         the driver-side fast path when its caches are loaded and the
         query fits the Σdf budget; identical results either way."""
         node = qt.parse(query)
-        if self.fast_path:
+        if self.fast_path and not (
+            self.phrase_via_positions and _has_phrase(node)
+        ):
+            # the driver fast path verifies phrases by substring; under
+            # phrase_via_positions the positional plans must answer
             res = self._search_fast(node, query, k)
             if res is not None:
                 return res
         if isinstance(node, qt.OrNode):
-            if self._bucket_doclens is not None and all(
-                c.kind in ("keyword", "prefix")
-                for a in node.children
-                for c in a.children
-            ):
-                return self.boolean_docids_bucketed(node).orderBy("doc_id")
+            if self._bucket_doclens is not None:
+                try:
+                    return self.boolean_docids_bucketed(node).orderBy("doc_id")
+                except _ServingFallback:
+                    pass  # reply_to / over-budget phrase: distributed
             return self.boolean_docids(node).orderBy("doc_id")
         return self.ranked(node, query, k)
+
+
+def _has_phrase(node) -> bool:
+    """True if the parsed tree contains a phrase / phrase_prefix leaf."""
+    if isinstance(node, qt.RankedNode):
+        return any(c.kind in ("phrase", "phrase_prefix") for c in node.children)
+    return any(
+        c.kind in ("phrase", "phrase_prefix")
+        for a in node.children
+        for c in a.children
+    )
 
 
 # ---- WAND fast path (numpy, block-max) ----------------------------------

@@ -62,6 +62,141 @@ def test_expand_prefix_bisect_equals_linear_scan(spark, index_dir):
         assert sorted(nostats.expand_prefix(p)) == eng.expand_prefix(p)
 
 
+@pytest.fixture(scope="module")
+def serving_pair(spark, index_dir):
+    """(base, serving) engines over the shared fixture index; serving
+    has the bucket caches + cached stats, base is the distributed plan."""
+    base = SearchEngine(spark, index_dir, cache_term_stats=True, fast_path=False)
+    serv = SearchEngine(
+        spark, index_dir, cache_term_stats=True, fast_path=False,
+        persist_doclens=True,
+    )
+    yield base, serv
+    serv._doclens_cluster.unpersist()
+    serv._bucket_doclens.unpersist()
+
+
+def _phrase_from(corpus_pdf, doc: int = 0, start: int = 2, n: int = 2) -> str:
+    return " ".join(corpus_pdf.iloc[doc].content.split()[start : start + n])
+
+
+SERVING_PHRASE_SHAPES = [
+    "'{p}'",
+    "'{p}' OR merge",
+    "merge AND '{p}'",
+    "merge NOT '{p}'",
+    "merge OR '{p}' OR buffer",
+    "merge window '{p}'",  # ranked mixed: keyword + phrase
+    "merge window par*",  # ranked mixed: keyword + prefix
+    "'{p}' 'zz qq'",  # ranked, unknown phrase alongside a real one
+]
+
+
+def test_serving_phrase_shapes_identical(serving_pair, corpus_pdf):
+    """VERDICT r4 #1: phrase / phrase-prefix / mixed-leaf shapes must be
+    served by the bucket-local plans, bit-identical to the distributed
+    plans (substring semantics — the reference's)."""
+    base, serv = serving_pair
+    p = _phrase_from(corpus_pdf)
+    for shape in SERVING_PHRASE_SHAPES:
+        q = shape.format(p=p)
+        want = [
+            (r.doc_id, getattr(r, "score", None)) for r in base.search(q, 10).collect()
+        ]
+        got = [
+            (r.doc_id, getattr(r, "score", None)) for r in serv.search(q, 10).collect()
+        ]
+        assert got == want, q
+    # standalone bucketed phrase plan == distributed phrase plan
+    want_ids = {r.doc_id for r in base.phrase_docids(p).collect()}
+    got_ids = {r.doc_id for r in serv.phrase_docids_bucketed(p).collect()}
+    assert got_ids == want_ids
+
+
+def test_serving_positional_phrase_identical(spark, index_dir, corpus_pdf):
+    """phrase_via_positions=True: TRUE positional matching, served
+    fully bucket-locally (zero content access) — identical to the
+    distributed positional plans on every shape."""
+    base = SearchEngine(
+        spark, index_dir, cache_term_stats=True, fast_path=False,
+        phrase_via_positions=True,
+    )
+    serv = SearchEngine(
+        spark, index_dir, cache_term_stats=True, fast_path=False,
+        persist_doclens=True, phrase_via_positions=True,
+    )
+    p = _phrase_from(corpus_pdf)
+    for shape in SERVING_PHRASE_SHAPES:
+        q = shape.format(p=p)
+        want = [
+            (r.doc_id, getattr(r, "score", None)) for r in base.search(q, 10).collect()
+        ]
+        got = [
+            (r.doc_id, getattr(r, "score", None)) for r in serv.search(q, 10).collect()
+        ]
+        assert got == want, q
+    # bucketed positional twins == the groupBy(doc_id) positional plans
+    for ph in (p, _phrase_from(corpus_pdf, doc=1, start=0, n=3)):
+        want_ids = sorted(r.doc_id for r in base.phrase_docids_positional(ph).collect())
+        got_ids = sorted(
+            r.doc_id for r in serv.phrase_docids_positional_bucketed(ph).collect()
+        )
+        assert got_ids == want_ids, ph
+    w = corpus_pdf.iloc[0].content.split()[2]
+    want_ids = sorted(
+        r.doc_id for r in base.phrase_prefix_docids_positional(w, "pa").collect()
+    )
+    got_ids = sorted(
+        r.doc_id
+        for r in serv.phrase_prefix_docids_positional_bucketed(w, "pa").collect()
+    )
+    assert got_ids == want_ids
+    serv._doclens_cluster.unpersist()
+    serv._bucket_doclens.unpersist()
+
+
+def test_serving_phrase_budget_fallback(spark, index_dir, corpus_pdf):
+    """Over the phrase collect budget the serving dispatcher must fall
+    back to the distributed plan — same results, no exception."""
+    base = SearchEngine(spark, index_dir, cache_term_stats=True, fast_path=False)
+    serv = SearchEngine(
+        spark, index_dir, cache_term_stats=True, fast_path=False,
+        persist_doclens=True, serving_phrase_collect_max=0,  # force fallback
+    )
+    p = _phrase_from(corpus_pdf)
+    for q in (f"'{p}' OR merge", f"merge AND '{p}'", f"merge window '{p}'"):
+        want = [
+            (r.doc_id, getattr(r, "score", None)) for r in base.search(q, 10).collect()
+        ]
+        got = [
+            (r.doc_id, getattr(r, "score", None)) for r in serv.search(q, 10).collect()
+        ]
+        assert got == want, q
+    serv._doclens_cluster.unpersist()
+    serv._bucket_doclens.unpersist()
+
+
+def test_serving_reply_to_falls_back(spark, index_dir):
+    """A reply_to leaf is not bucket-local: the serving dispatcher must
+    fall back to the distributed plan, not crash."""
+    edges = spark.createDataFrame(
+        [(5, 3), (7, 3), (9, 4)], "src_doc_id long, dst_doc_id long"
+    )
+    base = SearchEngine(
+        spark, index_dir, cache_term_stats=True, fast_path=False, edges=edges
+    )
+    serv = SearchEngine(
+        spark, index_dir, cache_term_stats=True, fast_path=False,
+        persist_doclens=True, edges=edges,
+    )
+    for q in ("ReplyTo:3 OR merge", "merge AND ReplyTo:3"):
+        want = sorted(r.doc_id for r in base.search(q, 10).collect())
+        got = sorted(r.doc_id for r in serv.search(q, 10).collect())
+        assert got == want, q
+    serv._doclens_cluster.unpersist()
+    serv._bucket_doclens.unpersist()
+
+
 def test_serving_engine_reload_after_refresh(spark, corpus, tmp_path):
     """VERDICT r4 #3: a long-lived serving engine resolves the snapshot
     pointer once; after refresh_index it must be able to reload() —

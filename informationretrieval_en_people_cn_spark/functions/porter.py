@@ -84,6 +84,17 @@ _STEP2 = [
     ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
 ]
 
+# The two documented DEPARTUREs of Porter's reference implementation
+# (tartarus.org porter.c / the Snowball "porter" stemmer) from the 1980
+# paper, applied in step 2 when ``departures=True``:
+#   (m>0) ABLI -> ABLE   becomes   (m>0) BLI -> BLE
+#   (m>0) LOGI -> LOG    is added
+# e.g. possibly: paper "possibli" vs departures "possibl";
+#      analogy:  paper "analogi"  vs departures "analog".
+_STEP2_DEPARTURES = [("logi", "log")] + [
+    ("bli", "ble") if s == "abli" else (s, r) for s, r in _STEP2
+]
+
 _STEP3 = [
     ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
     ("ical", "ic"), ("ful", ""), ("ness", ""),
@@ -95,8 +106,16 @@ _STEP4 = [
 ]
 
 
-def stem(word: str) -> str:
-    """Stem one lowercase token. Non-alphabetic tokens pass through."""
+def stem(word: str, departures: bool = False) -> str:
+    """Stem one lowercase token. Non-alphabetic tokens pass through.
+
+    ``departures=True`` applies the two step-2 DEPARTUREs of Porter's
+    own reference implementation (see _STEP2_DEPARTURES); the engine
+    keeps the 1980-paper rules (departures=False) on both the build and
+    query paths — rank identity needs build≡query stemming, not any
+    particular stemmer family (the reference binary uses PyStemmer
+    Snowball english, a third family again — IndexCreator.py:37-38).
+    """
     if len(word) <= 2:
         return word
 
@@ -135,7 +154,7 @@ def stem(word: str) -> str:
         word = word[:-1] + "i"
 
     # Step 2
-    for suffix, repl in _STEP2:
+    for suffix, repl in (_STEP2_DEPARTURES if departures else _STEP2):
         if word.endswith(suffix):
             word = _replace(word, suffix, repl, 0) or word
             break
@@ -170,10 +189,10 @@ def stem(word: str) -> str:
     return word
 
 
-def stem_series(tokens):
+def stem_series(tokens, departures: bool = False):
     """Stem a pandas Series of tokens via unique()+map (batch memoization)."""
     import pandas as pd
 
     uniq = pd.Series(tokens.unique())
-    mapping = dict(zip(uniq, uniq.map(stem)))
+    mapping = dict(zip(uniq, uniq.map(lambda w: stem(w, departures))))
     return tokens.map(mapping)

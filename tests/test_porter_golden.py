@@ -149,3 +149,37 @@ def test_porter_short_and_nonalpha_passthrough():
     # anyway; reference IndexCreator.py:112 keeps 2..128)
     for tok in ("a", "it", "x1", "42"):
         assert stem(tok) == tok
+
+
+# The two tartarus DEPARTUREs behind the flag (VERDICT r4 #7): step 2's
+# ABLI->ABLE generalized to BLI->BLE, and LOGI->LOG added.  Vectors
+# derived from the departure rules by hand (rule text at
+# tartarus.org/martin/PorterStemmer, "points of difference"): -bly
+# words reach step 2 as -bli (1c), match BLI->BLE, then step 4/5 run as
+# published; -logy words reach -logi and strip to -log when the stem
+# before 'logi' has m>0 ('geo' has m=0, so geology keeps 'geologi' in
+# BOTH modes — the condition, not the suffix, decides).
+DEPARTURE_GOLDEN = [
+    # word, paper-mode stem, departures-mode stem
+    ("possibly", "possibli", "possibl"),
+    ("terribly", "terribli", "terribl"),
+    ("analogy", "analogi", "analog"),
+    ("analogies", "analogi", "analog"),
+    ("apology", "apologi", "apolog"),
+    ("geology", "geologi", "geologi"),  # m("geo")=0: no strip either way
+    # non-departure words must be IDENTICAL in both modes
+    ("relational", "relat", "relat"),
+    ("conditional", "condit", "condit"),
+    ("generalizations", "gener", "gener"),
+]
+
+
+def test_porter_departures_flag():
+    failures = []
+    for word, paper, dep in DEPARTURE_GOLDEN:
+        if stem(word) != paper:
+            failures.append(f"{word!r} paper-mode: want {paper!r} got {stem(word)!r}")
+        got = stem(word, departures=True)
+        if got != dep:
+            failures.append(f"{word!r} departures: want {dep!r} got {got!r}")
+    assert not failures, "\n".join(failures)

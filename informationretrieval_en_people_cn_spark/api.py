@@ -770,6 +770,48 @@ def q_search_engine_topk_unstemmed(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score_r"))
 
 
+def q_phrase_bucketed(spark, sf_dir):
+    """Serving-mode phrase plan VALUE-CHECKED (round 5): candidate
+    intersection of the rarest phrase terms runs bucket-locally over
+    compressed frames (plans/engine.py phrase_docids_bucketed), then
+    the df-routed substring verify.  Same oracle as `phrase` — the
+    serving plan must be result-identical to the distributed one."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(
+        spark, _unstemmed_index(spark, sf_dir), use_stemmer=False,
+        cache_term_stats=True, fast_path=False,
+    )
+    return eng.phrase_docids_bucketed(PHRASE).select("doc_id")
+
+
+def q_phrase_positional_bucketed(spark, sf_dir):
+    """Fully bucket-local POSITIONAL phrase serving plan (round 5):
+    candidates intersect and position-verify inside each doc-range
+    bucket — zero content access, only compressed frames shuffle.
+    Same oracle as `phrase_positional`."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(spark, _unstemmed_index(spark, sf_dir), use_stemmer=False)
+    return eng.phrase_docids_positional_bucketed(PHRASE)
+
+
+def q_ranked_mixed_serving(spark, sf_dir):
+    """Mixed-leaf ranked query through the bucket-local serving plan
+    (round 5, plans/engine.py ranked_bucketed): candidates = union of
+    keyword and substring-verified phrase leaves, BM25-scored with 0.0
+    for candidates none of whose terms survive, global top-10.  The
+    oracle recomputes candidates ∪ scores in SQL."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(
+        spark, _unstemmed_index(spark, sf_dir), use_stemmer=False,
+        cache_term_stats=True, fast_path=False, persist_doclens=True,
+    )
+    res = eng.search("merge window 'value table'", k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score_r"))
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -784,7 +826,10 @@ QUERIES = {
     "boolean_or": q_boolean_or,
     "prefix_search": q_prefix_search,
     "phrase": q_phrase,
+    "phrase_bucketed": q_phrase_bucketed,
     "phrase_positional": q_phrase_positional,
+    "phrase_positional_bucketed": q_phrase_positional_bucketed,
+    "ranked_mixed_serving": q_ranked_mixed_serving,
     "phrase_prefix_search": q_phrase_prefix_search,
     "phrase_prefix_positional": q_phrase_prefix_positional,
     "stopterm_ranked": q_stopterm_ranked,
@@ -1467,6 +1512,27 @@ ORACLES["media_decoded"] = """
                   WHEN 1 THEN (7 * ii * 53) % 256
                   ELSE (7 * ii * 91) % 1001 - 500 END AS DOUBLE) AS mean_val
     FROM m
+"""
+
+# ---- round-5 serving-plan oracles: the bucket-local plans must be
+# result-identical to the distributed ones, so the phrase twins reuse
+# the SAME oracle SQL; the mixed ranked oracle recomputes the
+# candidates-∪-scores semantics (union of leaf results, BM25 over the
+# query terms, 0.0 for unscored candidates, top-10 by (score desc, id))
+ORACLES["phrase_bucketed"] = ORACLES["phrase"]
+ORACLES["phrase_positional_bucketed"] = ORACLES["phrase_positional"]
+_BM25_MIXED = _BM25_SQL.replace(
+    "IN ('spark', 'merge', 'window')", "IN ('merge', 'window', 'value', 'table')"
+)
+ORACLES["ranked_mixed_serving"] = f"""
+    SELECT c.doc_id, COALESCE(b.score_r, 0.0) AS score_r
+    FROM (
+      SELECT doc_id FROM documents
+      WHERE list_contains({_SQL_TOKS}, 'merge')
+         OR list_contains({_SQL_TOKS}, 'window')
+         OR contains(lower(text), '{PHRASE}')
+    ) c LEFT JOIN ({_BM25_MIXED}) b USING (doc_id)
+    ORDER BY score_r DESC, c.doc_id LIMIT 10
 """
 
 _PROFILE_VALUES = ", ".join(

@@ -812,6 +812,39 @@ def q_ranked_mixed_serving(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score_r"))
 
 
+def q_completions(spark, sf_dir):
+    """Autocomplete (round 5): top-10 dictionary completions of a
+    prefix ranked by collection frequency — the cf-ranked read of the
+    reference DAWG's ``keys(prefix)`` (SearchEngine.py:210).  Runs the
+    DISTRIBUTED plan (term-sorted index prefix scan + partial-agg
+    sum(cf) + TakeOrdered); the zero-job cached-stats path is pinned
+    equal in pytest.  Oracle: explode analyzer tokens, count, prefix
+    filter, same (cf desc, term asc) top-10."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(spark, _unstemmed_index(spark, sf_dir), use_stemmer=False)
+    return eng.completions("s", k=10)
+
+
+def q_snippets(spark, sf_dir):
+    """Result snippets (round 5): BM25 top-10 plus an 80-char window of
+    the original content starting 30 chars before the earliest
+    query-term occurrence — the engine analogue of the reference
+    printing each matching comment.  Content access is an IN-list
+    parquet pushdown on the 10 result ids.  Oracle recomputes the
+    window with strpos/substr over the BM25 top-10 CTE."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(
+        spark, _unstemmed_index(spark, sf_dir), use_stemmer=False,
+        cache_term_stats=True, fast_path=False,
+    )
+    res = eng.search_snippets("spark merge window", k=10)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score_r"), "snippet"
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -830,6 +863,8 @@ QUERIES = {
     "phrase_positional": q_phrase_positional,
     "phrase_positional_bucketed": q_phrase_positional_bucketed,
     "ranked_mixed_serving": q_ranked_mixed_serving,
+    "completions": q_completions,
+    "snippets": q_snippets,
     "phrase_prefix_search": q_phrase_prefix_search,
     "phrase_prefix_positional": q_phrase_prefix_positional,
     "stopterm_ranked": q_stopterm_ranked,
@@ -1533,6 +1568,32 @@ ORACLES["ranked_mixed_serving"] = f"""
          OR contains(lower(text), '{PHRASE}')
     ) c LEFT JOIN ({_BM25_MIXED}) b USING (doc_id)
     ORDER BY score_r DESC, c.doc_id LIMIT 10
+"""
+
+# cf = total analyzer-token occurrences across the corpus (the index's
+# sum(cf)); CAST keeps DuckDB's count() out of HUGEINT (hash poison)
+ORACLES["completions"] = f"""
+    SELECT term, CAST(count(*) AS BIGINT) AS cf
+    FROM (SELECT unnest({_SQL_TOKS}) AS term FROM documents)
+    WHERE term LIKE 's%'
+    GROUP BY term
+    ORDER BY cf DESC, term
+    LIMIT 10
+"""
+
+# snippet window: 80 chars starting 30 before the earliest query-term
+# occurrence (1-based strpos == Spark locate; least() skips NULLs in
+# both engines; no-literal-match docs coalesce to position 1)
+ORACLES["snippets"] = f"""
+    SELECT b.doc_id, b.score_r,
+           substr(d.text,
+                  greatest(coalesce(least(
+                      nullif(strpos(lower(d.text), 'spark'), 0),
+                      nullif(strpos(lower(d.text), 'merge'), 0),
+                      nullif(strpos(lower(d.text), 'window'), 0)), 1) - 30, 1),
+                  80) AS snippet
+    FROM (SELECT * FROM ({_BM25_SQL}) ORDER BY score_r DESC, doc_id LIMIT 10) b
+    JOIN documents d USING (doc_id)
 """
 
 _PROFILE_VALUES = ", ".join(

@@ -232,6 +232,24 @@ def _eval_bucket_tree(bf: _BucketFrames, tree: list, bucket: int) -> np.ndarray:
     return res if res is not None else _EMPTY_IDS
 
 
+def _local_topk(
+    ids: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact bucket-local top-k under the GLOBAL result order
+    (score desc, doc_id asc).  ``np.partition`` finds the k-th score in
+    O(n); score ties at the boundary are kept and resolved by a lexsort
+    over only the (small) surviving set, so the k rows returned are
+    precisely the ones the global TakeOrdered would keep from this
+    bucket."""
+    if ids.size <= k:
+        return ids, scores
+    kth = np.partition(scores, ids.size - k)[ids.size - k]
+    keep = scores >= kth  # >= keeps boundary ties for the doc_id tiebreak
+    cid, cs = ids[keep], scores[keep]
+    order = np.lexsort((cid, -cs))[:k]
+    return cid[order], cs[order]
+
+
 class SearchEngine:
     """Loads an index built by operators.build.build_index and serves
     the reference query language (14 shapes, SURVEY.md §5)."""
@@ -1094,6 +1112,82 @@ class SearchEngine:
             .collect()
         ]
 
+    def completions(self, prefix: str, k: int = 10) -> DataFrame:
+        """Autocomplete: top-``k`` dictionary completions of ``prefix``
+        ranked by collection frequency (cf desc, term asc) — the query
+        the reference's DAWG seek list answers for prefix search
+        (SearchEngine.py:210 ``keys(prefix)``), ranked the way a search
+        box wants it.  With cached term stats: an O(log V + matches)
+        sorted-vocabulary slice plus a driver-side heap — zero Spark
+        jobs.  Without: a pruned scan on the term-sorted index (parquet
+        min/max pushdown) + partial-agg sum(cf) + TakeOrdered, the
+        100 TB plan."""
+        import heapq
+
+        p = prefix.lower()
+        if self.term_stats is not None:
+            best = heapq.nsmallest(
+                k,
+                ((-self.term_stats[t][1], t) for t in self.expand_prefix(p)),
+            )
+            return self.spark.createDataFrame(
+                [(t, int(-ncf)) for ncf, t in best], "term string, cf long"
+            )
+        return (
+            self.index.filter(F.col("term").startswith(p))
+            .groupBy("term")
+            .agg(F.sum("cf").alias("cf"))
+            .orderBy(F.desc("cf"), F.asc("term"))
+            .limit(k)
+        )
+
+    def search_snippets(
+        self, query: str, k: int = 10, *, width: int = 80, context: int = 30
+    ) -> DataFrame:
+        """Top-``k`` search results with a result snippet — a
+        ``width``-char window of the ORIGINAL content starting
+        ``context`` chars before the earliest query-term occurrence
+        (the engine analogue of the reference printing each matching
+        comment, SearchEngine.py result loop).  Docs where no term
+        occurs literally (stemmed index / position-only match) snippet
+        from the start.  Content access is an IN-list parquet pushdown
+        on the k result ids — one pruned scan, no content shuffle."""
+        rows = self.search(query, k).collect()  # k rows by contract
+        schema = "doc_id long, score double, snippet string"
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        if self.content_df is None:
+            raise qt.QueryError(
+                "snippets need document content: the index was built with "
+                "store_content=False and no corpus was provided"
+            )
+        terms = self._query_terms(query)
+        hay = F.lower(F.col("content"))
+        locs = [F.when(F.locate(t, hay) > 0, F.locate(t, hay)) for t in terms]
+        if not locs:
+            first = F.lit(None).cast("int")
+        elif len(locs) == 1:
+            first = locs[0]
+        else:
+            first = F.least(*locs)
+        start = F.greatest(F.coalesce(first, F.lit(1)) - context, F.lit(1))
+        scored = self.spark.createDataFrame(
+            [(int(r.doc_id), float(getattr(r, "score", 0.0))) for r in rows],
+            "doc_id long, score double",
+        )
+        return (
+            self.content_df.filter(
+                F.col("doc_id").isin([int(r.doc_id) for r in rows])
+            )
+            .select(
+                "doc_id",
+                F.col("content").substr(start, F.lit(width)).alias("snippet"),
+            )
+            .join(F.broadcast(scored), "doc_id")
+            .select("doc_id", "score", "snippet")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     def _query_terms(self, raw_query: str) -> list[str]:
         toks = []
         prefix_terms: list[str] = []
@@ -1234,6 +1328,13 @@ class SearchEngine:
         in term-sorted order from 0.0, the same float64 sequence as the
         canonical array_sort aggregate.  Requires serving mode
         (``persist_doclens=True``) and cached term stats.
+
+        With ``k`` set, each bucket emits only its LOCAL top-k (by the
+        global (score desc, doc_id asc) order) — exact, because every
+        global top-k member is within its own bucket's top-k under the
+        same total order.  A Zipf-head query touches nearly every doc,
+        so without this the Arrow transfer back to the JVM is O(corpus)
+        rows per query; with it, O(k × buckets).
         """
         import pandas as pd
 
@@ -1301,8 +1402,11 @@ class SearchEngine:
                         )
                         acc[pos] += s
                         touched[pos] = True
-                    out_d.append(ids[touched])
-                    out_s.append(acc[touched])
+                    bd, bs = ids[touched], acc[touched]
+                    if k:  # exact local top-k: O(k), not O(touched),
+                        bd, bs = _local_topk(bd, bs, k)  # rows cross Arrow
+                    out_d.append(bd)
+                    out_s.append(bs)
                 if out_d:
                     yield pd.DataFrame(
                         {
@@ -1411,8 +1515,11 @@ class SearchEngine:
                             "doc_ids: the docs table and the index "
                             "disagree — rebuild or reload() the engine"
                         )
-                    out_d.append(cand)
-                    out_s.append(acc[cpos])
+                    bd, bs = cand, acc[cpos]
+                    if k:  # exact local top-k before the Arrow transfer
+                        bd, bs = _local_topk(bd, bs, k)
+                    out_d.append(bd)
+                    out_s.append(bs)
                 if out_d:
                     yield pd.DataFrame(
                         {

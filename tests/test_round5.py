@@ -309,3 +309,74 @@ def test_doclen_cache_membership_validated(spark, corpus, tmp_path):
         eng.search("merge window", k=10).collect()
     drifted.unpersist()
     eng._doclens_cluster.unpersist()
+
+
+def test_local_topk_exact_with_ties():
+    """_local_topk must return exactly the rows the global TakeOrdered
+    (score desc, doc_id asc) would keep from a bucket — including when
+    score ties straddle the k boundary."""
+    import numpy as np
+
+    from informationretrieval_en_people_cn_spark.plans.engine import _local_topk
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n = int(rng.integers(1, 200))
+        k = int(rng.integers(1, 20))
+        ids = rng.choice(10_000, size=n, replace=False).astype(np.int64)
+        ids.sort()
+        # coarse quantization → plenty of exact ties
+        scores = np.round(rng.random(n) * 4) / 4.0
+        key = lambda r: (-r[1], r[0])  # noqa: E731
+        want = sorted(zip(ids, scores), key=key)[:k]
+        gi, gs = _local_topk(ids, scores, k)
+        # row SET must be exact; output order is the global sort's job
+        assert sorted(zip(gi, gs), key=key) == want, (trial, n, k)
+
+
+def test_serving_topk_emission_identical(serving_pair):
+    """Per-bucket top-k emission (round 5): k-limited bucketed scoring
+    must stay bit-identical to the exhaustive k=None path and to the
+    distributed plan."""
+    base, serv = serving_pair
+    for q in ("merge window", "merge window buffer par*"):
+        want = [(r.doc_id, r.score) for r in base.search(q, k=5).collect()]
+        got = [(r.doc_id, r.score) for r in serv.search(q, k=5).collect()]
+        assert got == want, q
+    # k=None still emits every touched doc with the same scores
+    terms = serv._q("merge window")  # stemmed index: analyze first
+    full = {
+        (r.doc_id, r.score) for r in serv.score_terms_bucketed(terms).collect()
+    }
+    lim = [(r.doc_id, r.score) for r in serv.score_terms_bucketed(terms, 7).collect()]
+    assert len(lim) == 7 and set(lim) <= full
+
+
+def test_completions_paths_agree(spark, index_dir):
+    """completions(): the zero-job cached-stats heap and the
+    distributed index-scan plan must return the same (term, cf) top-k,
+    same (cf desc, term asc) order."""
+    fast = SearchEngine(spark, index_dir, cache_term_stats=True)
+    dist = SearchEngine(spark, index_dir)
+    for p, k in (("me", 5), ("pa", 10), ("zzz", 3)):
+        want = [(r.term, r.cf) for r in dist.completions(p, k).collect()]
+        got = [(r.term, r.cf) for r in fast.completions(p, k).collect()]
+        assert got == want, p
+        # ranking invariant: cf non-increasing, term asc within ties
+        assert want == sorted(want, key=lambda r: (-r[1], r[0]))
+
+
+def test_search_snippets_window(spark, index_dir, corpus_pdf):
+    """search_snippets(): window starts 30 chars before the earliest
+    term occurrence, 80 chars wide, original-case content."""
+    eng = SearchEngine(spark, index_dir, cache_term_stats=True, fast_path=False)
+    w = corpus_pdf.iloc[0].content.split()[2].lower()
+    rows = eng.search_snippets(w, k=5).collect()
+    assert rows, w
+    by_id = dict(corpus_pdf[["doc_id", "content"]].itertuples(index=False))
+    for r in rows:
+        content = by_id[r.doc_id]
+        pos = content.lower().find(w)
+        start = max(pos - 30, 0) if pos >= 0 else 0
+        assert r.snippet == content[start : start + 80], r.doc_id
+        assert len(r.snippet) <= 80

@@ -480,7 +480,11 @@ def main():
         with open(out_path, "w") as fh:
             json.dump(merged, fh, indent=1)
     # the replicated-corpus cache is ~7 GB per level: reclaim /tmp now
-    # that all windows are done (re-runs pay the untimed write again)
+    # that all windows are done (re-runs pay the untimed write again).
+    # SCALING_KEEP_CACHE=1 skips the cleanup so back-to-back protocols
+    # (query then query-phrase) reuse the corpus/index artifacts.
+    if os.environ.get("SCALING_KEEP_CACHE") == "1":
+        return
     shutil.rmtree(
         os.path.join(tempfile.gettempdir(), "ir_scale_corpus_cache"),
         ignore_errors=True,

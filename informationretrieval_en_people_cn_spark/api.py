@@ -845,6 +845,22 @@ def q_snippets(spark, sf_dir):
     )
 
 
+def q_facet_search(spark, sf_dir):
+    """Faceted search (round 5): the `source` distribution over the
+    full result set of a boolean query — the refinement sidebar.
+    Result ids from the engine join the column-pruned documents
+    metadata; counts partial-agg per value.  Oracle recomputes the
+    result set and the GROUP BY in SQL."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(
+        spark, _unstemmed_index(spark, sf_dir), use_stemmer=False,
+        cache_term_stats=True, fast_path=False,
+    )
+    meta = _docs(spark, sf_dir).select("doc_id", "source")
+    return eng.facet_counts("spark OR merge", meta, "source")
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -865,6 +881,7 @@ QUERIES = {
     "ranked_mixed_serving": q_ranked_mixed_serving,
     "completions": q_completions,
     "snippets": q_snippets,
+    "facet_search": q_facet_search,
     "phrase_prefix_search": q_phrase_prefix_search,
     "phrase_prefix_positional": q_phrase_prefix_positional,
     "stopterm_ranked": q_stopterm_ranked,
@@ -1584,6 +1601,17 @@ ORACLES["completions"] = f"""
 # snippet window: 80 chars starting 30 before the earliest query-term
 # occurrence (1-based strpos == Spark locate; least() skips NULLs in
 # both engines; no-literal-match docs coalesce to position 1)
+# facet distribution over the boolean result set; CAST keeps count()
+# out of HUGEINT
+ORACLES["facet_search"] = f"""
+    SELECT source AS value, CAST(count(*) AS BIGINT) AS cnt
+    FROM documents
+    WHERE list_contains({_SQL_TOKS}, 'spark')
+       OR list_contains({_SQL_TOKS}, 'merge')
+    GROUP BY source
+    ORDER BY cnt DESC, value
+"""
+
 ORACLES["snippets"] = f"""
     SELECT b.doc_id, b.score_r,
            substr(d.text,

@@ -1141,6 +1141,26 @@ class SearchEngine:
             .limit(k)
         )
 
+    def facet_counts(self, query: str, meta: DataFrame, col: str) -> DataFrame:
+        """Faceted search: the distribution of metadata column ``col``
+        over the FULL result set of ``query`` (boolean queries return
+        every match; ranked queries facet their top-k page) — the
+        result-refinement sidebar every search UI derives from the
+        engine.  Plan: result doc_ids join the metadata relation on
+        doc_id (the meta scan is column-pruned to (doc_id, col);
+        AQE broadcasts whichever side is small — a top-k page always
+        is), then a partial-agg count per value: the final shuffle
+        carries one row per (partition, value), not per doc.
+        Returns (value, cnt) ordered (cnt desc, value asc)."""
+        ids = self.search(query).select("doc_id")
+        return (
+            meta.select("doc_id", F.col(col).alias("value"))
+            .join(ids, "doc_id")
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value"))
+        )
+
     def search_snippets(
         self, query: str, k: int = 10, *, width: int = 80, context: int = 30
     ) -> DataFrame:
@@ -1148,7 +1168,8 @@ class SearchEngine:
         ``width``-char window of the ORIGINAL content starting
         ``context`` chars before the earliest query-term occurrence
         (the engine analogue of the reference printing each matching
-        comment, SearchEngine.py result loop).  Docs where no term
+        comment's text, SearchEngine.py:241-248 ``print_comments`` with
+        ``printIdsOnly=False`` via ``load_comment``).  Docs where no term
         occurs literally (stemmed index / position-only match) snippet
         from the start.  Content access is an IN-list parquet pushdown
         on the k result ids — one pruned scan, no content shuffle."""

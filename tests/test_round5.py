@@ -380,3 +380,19 @@ def test_search_snippets_window(spark, index_dir, corpus_pdf):
         start = max(pos - 30, 0) if pos >= 0 else 0
         assert r.snippet == content[start : start + 80], r.doc_id
         assert len(r.snippet) <= 80
+
+
+def test_facet_counts_vs_pandas(spark, index_dir, corpus, corpus_pdf):
+    """facet_counts(): (value, cnt) over the full boolean result set
+    equals a pandas recomputation; ordering (cnt desc, value asc)."""
+    eng = SearchEngine(spark, index_dir, cache_term_stats=True, fast_path=False)
+    meta = corpus.withColumn(
+        "grp", (F.col("doc_id") % 3).cast("string")
+    ).select("doc_id", "grp")
+    got = [(r.value, r.cnt) for r in eng.facet_counts("merge", meta, "grp").collect()]
+    ids = {r.doc_id for r in eng.search("merge", k=10).collect()}
+    cnt: dict[str, int] = {}
+    for d in ids:
+        cnt[str(d % 3)] = cnt.get(str(d % 3), 0) + 1
+    want = sorted(cnt.items(), key=lambda r: (-r[1], r[0]))
+    assert got == want

@@ -169,6 +169,20 @@ class _BucketFrames:
 _POS_SHIFT = np.int64(1) << np.int64(32)
 
 
+def _sorted_member(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Boolean mask of which elements of sorted ``a`` occur in sorted
+    ``b`` — one binary search per element (the doc_pos_keys idiom)
+    instead of np.isin's concatenate+argsort of both arrays.  Every
+    kernel id/key array here is sorted by construction (delta decode is
+    strictly increasing; multi-frame unions go through np.unique; set
+    ops preserve order)."""
+    if a.size == 0 or b.size == 0:
+        return np.zeros(a.size, dtype=bool)
+    loc = np.searchsorted(b, a)
+    np.minimum(loc, b.size - 1, out=loc)
+    return b[loc] == a
+
+
 def _pos_phrase_bucket_ids(
     bf: _BucketFrames, seq: list[str], sfx_terms: list[str] | None
 ) -> np.ndarray:
@@ -176,12 +190,13 @@ def _pos_phrase_bucket_ids(
     adjacency semantics as phrase_docids_positional's verify, fully
     vectorized: candidate docs = intersection of the phrase terms'
     posting sets; adjacency runs over packed (doc, position) int64 keys
-    (+1 on the key = next position in the SAME doc, so one np.isin per
-    phrase slot replaces the per-doc python loop)."""
+    (+1 on the key = next position in the SAME doc, so one vectorized
+    membership probe per phrase slot replaces the per-doc python
+    loop)."""
     cand = None
     for t in set(seq):
         ids = bf.ids(t)
-        cand = ids if cand is None else np.intersect1d(cand, ids)
+        cand = ids if cand is None else cand[_sorted_member(cand, ids)]
         if cand.size == 0:
             return _EMPTY_IDS
     keys: dict[str, np.ndarray] = {}
@@ -189,7 +204,7 @@ def _pos_phrase_bucket_ids(
         keys[t] = bf.doc_pos_keys(t, cand)
     cur = keys[seq[0]]
     for i, t in enumerate(seq[1:], start=1):
-        cur = cur[np.isin(cur + i, keys[t])]
+        cur = cur[_sorted_member(cur + i, keys[t])]
         if cur.size == 0:
             return _EMPTY_IDS
     if sfx_terms is not None:
@@ -197,7 +212,7 @@ def _pos_phrase_bucket_ids(
         if not sk:
             return _EMPTY_IDS
         sks = sk[0] if len(sk) == 1 else np.unique(np.concatenate(sk))
-        cur = cur[np.isin(cur + len(seq), sks)]
+        cur = cur[_sorted_member(cur + len(seq), sks)]
         if cur.size == 0:
             return _EMPTY_IDS
     return cand[np.unique(cur >> np.int64(32))]
@@ -225,9 +240,9 @@ def _eval_bucket_tree(bf: _BucketFrames, tree: list, bucket: int) -> np.ndarray:
             if acc is None:
                 acc = li
             elif negated:
-                acc = np.setdiff1d(acc, li)
+                acc = acc[~_sorted_member(acc, li)]
             else:
-                acc = np.intersect1d(acc, li)
+                acc = acc[_sorted_member(acc, li)]
         res = acc if res is None else np.union1d(res, acc)
     return res if res is not None else _EMPTY_IDS
 
@@ -956,7 +971,11 @@ class SearchEngine:
                     inter = None
                     for t in bf.by_term:
                         ids = bf.ids(t)
-                        inter = ids if inter is None else np.intersect1d(inter, ids)
+                        inter = (
+                            ids
+                            if inter is None
+                            else inter[_sorted_member(inter, ids)]
+                        )
                     if inter is not None and inter.size:
                         d_out.append(inter)
                         b_out.append(

@@ -861,6 +861,24 @@ def q_facet_search(spark, sf_dir):
     return eng.facet_counts("spark OR merge", meta, "source")
 
 
+def q_page_search(spark, sf_dir):
+    """Keyset pagination (round 5, plans/engine.py search_page): the
+    20 smallest matching doc_ids strictly greater than the page key
+    150, through the bucket-local serving plan — ids <= key drop
+    inside the kernel, each bucket emits at most page_size ids, and
+    buckets wholly below the key's grid bucket never ship frames.
+    Oracle: WHERE doc_id > key ORDER BY doc_id LIMIT page_size."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(
+        spark, _unstemmed_index(spark, sf_dir), use_stemmer=False,
+        cache_term_stats=True, fast_path=False, persist_doclens=True,
+    )
+    return eng.search_page(
+        "spark AND merge NOT window", page_size=20, after_doc_id=150
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -882,6 +900,7 @@ QUERIES = {
     "completions": q_completions,
     "snippets": q_snippets,
     "facet_search": q_facet_search,
+    "page_search": q_page_search,
     "phrase_prefix_search": q_phrase_prefix_search,
     "phrase_prefix_positional": q_phrase_prefix_positional,
     "stopterm_ranked": q_stopterm_ranked,
@@ -1610,6 +1629,16 @@ ORACLES["facet_search"] = f"""
        OR list_contains({_SQL_TOKS}, 'merge')
     GROUP BY source
     ORDER BY cnt DESC, value
+"""
+
+ORACLES["page_search"] = f"""
+    SELECT doc_id FROM documents
+    WHERE list_contains({_SQL_TOKS}, 'spark')
+      AND list_contains({_SQL_TOKS}, 'merge')
+      AND NOT list_contains({_SQL_TOKS}, 'window')
+      AND doc_id > 150
+    ORDER BY doc_id
+    LIMIT 20
 """
 
 ORACLES["snippets"] = f"""

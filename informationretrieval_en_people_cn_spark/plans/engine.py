@@ -867,20 +867,35 @@ class SearchEngine:
         raise _ServingFallback(leaf.kind)
 
     def _bucketed_eval(
-        self, tree: list, frame_terms: set[str]
+        self,
+        tree: list,
+        frame_terms: set[str],
+        after: int | None = None,
+        cap: int | None = None,
+        min_bucket: int | None = None,
     ) -> DataFrame:
         """Run the compiled OR-of-ANDs tree bucket-locally: shuffle only
         the leaves' compressed frames, evaluate per-bucket numpy set
         algebra (see _eval_bucket_tree), return the doc_id relation.
         Buckets are disjoint doc ranges, so no global distinct is
-        needed."""
+        needed.
+
+        Keyset pagination hooks: ``after`` drops ids <= after inside the
+        kernel, ``cap`` emits at most cap ids per bucket (exact for a
+        global ORDER BY doc_id LIMIT cap — per-bucket results are
+        ascending and buckets are disjoint ranges, so each bucket's
+        first cap survivors are a superset of its contribution to the
+        global page), and ``min_bucket`` prunes whole buckets below the
+        keyset frontier BEFORE their frames shuffle."""
         import pandas as pd
 
         if not frame_terms:
             return self.spark.createDataFrame([], "doc_id long")
+        rows = self._index_rows(sorted(frame_terms))
+        if min_bucket is not None and min_bucket > 0:
+            rows = rows.filter(F.col("bucket") >= min_bucket)
         joined = (
-            self._index_rows(sorted(frame_terms))
-            .groupBy("bucket")
+            rows.groupBy("bucket")
             .agg(F.collect_list(F.struct("term", "postings")).alias("frames"))
             .select("bucket", "frames")
         )
@@ -900,6 +915,10 @@ class SearchEngine:
                     res = _eval_bucket_tree(
                         _BucketFrames(frames, pos_terms), tree, int(bucket)
                     )
+                    if after is not None and res.size:
+                        res = res[np.searchsorted(res, after, side="right"):]
+                    if cap is not None:
+                        res = res[:cap]
                     if res.size:
                         outs.append(res)
                 if outs:
@@ -933,6 +952,14 @@ class SearchEngine:
             if c.kind in ("phrase", "phrase_prefix") and self._q(c.value):
                 sfx = c.suffix if c.kind == "phrase_prefix" else ""
                 return self.phrase_docids_bucketed(c.value, sfx).select("doc_id")
+        tree, frame_terms = self._compile_serving_tree(node)
+        return self._bucketed_eval(tree, frame_terms)
+
+    def _compile_serving_tree(
+        self, node: qt.OrNode
+    ) -> tuple[list, set[str]]:
+        """Lower an OR-of-ANDs parse tree to the serving kernel's leaf
+        specs + the index terms whose frames must shuffle."""
         tree: list[list[tuple[tuple, bool]]] = []
         frame_terms: set[str] = set()
         for and_node in node.children:
@@ -944,7 +971,17 @@ class SearchEngine:
             # positives first (the parser guarantees at least one)
             leaves.sort(key=lambda x: x[1])
             tree.append(leaves)
-        return self._bucketed_eval(tree, frame_terms)
+        return tree, frame_terms
+
+    def _bucket_of(self, doc_id: int) -> int | None:
+        """Scalar mirror of the build's ``_range_bucket`` double math:
+        the grid bucket whose contiguous doc range holds ``doc_id``
+        (None when the stats table predates the grid)."""
+        if self._grid is None:
+            return None
+        glo, gspan, gn = self._grid
+        frac = float(doc_id - glo) / float(gspan)
+        return max(0, min(gn - 1, math.floor(float(gn) * frac)))
 
     def _phrase_bucketed_cand(self, rare: list[str]) -> DataFrame:
         """Bucket-local phrase candidates: intersect the (≤2) rarest
@@ -1989,6 +2026,56 @@ class SearchEngine:
                     pass  # reply_to / over-budget phrase: distributed
             return self.boolean_docids(node).orderBy("doc_id")
         return self.ranked(node, query, k)
+
+    def search_page(
+        self,
+        query: str,
+        page_size: int = 100,
+        after_doc_id: int | None = None,
+    ) -> DataFrame:
+        """Keyset-paginated match set: the ``page_size`` smallest
+        doc_ids matching ``query`` that are strictly greater than
+        ``after_doc_id`` (the last id of the previous page), ordered
+        ascending.
+
+        Web-scale serving never ships O(matches) rows per request — a
+        Zipf-head boolean query matches most of the corpus.  The page
+        key drives three bounds in serving mode: the kernel drops
+        ids <= key before they leave numpy, each bucket emits at most
+        page_size ids (exact, because per-bucket results are ascending
+        over disjoint contiguous doc ranges), and every bucket strictly
+        below the key's grid bucket is pruned BEFORE its compressed
+        frames shuffle — deep pages cost O(frontier buckets), not
+        O(rows already paged).  Ranked (operator-free) queries page
+        their MATCH SET — the docs BM25 would score, the OR of the
+        leaves; relevance-ordered paging is ``search(query, k)`` with a
+        larger k."""
+        node = qt.parse(query)
+        if isinstance(node, qt.RankedNode):
+            if any(c.negated for c in node.children):
+                raise qt.QueryError("cannot paginate a negated ranked query")
+            node = qt.OrNode([qt.AndNode([c]) for c in node.children])
+        if self._bucket_doclens is not None:
+            try:
+                tree, frame_terms = self._compile_serving_tree(node)
+                page = self._bucketed_eval(
+                    tree,
+                    frame_terms,
+                    after=after_doc_id,
+                    cap=page_size,
+                    min_bucket=(
+                        self._bucket_of(after_doc_id)
+                        if after_doc_id is not None
+                        else None
+                    ),
+                )
+                return page.orderBy("doc_id").limit(page_size)
+            except _ServingFallback:
+                pass  # reply_to / over-budget phrase: distributed
+        rel = self.boolean_docids(node)
+        if after_doc_id is not None:
+            rel = rel.filter(F.col("doc_id") > after_doc_id)
+        return rel.orderBy("doc_id").limit(page_size)
 
 
 def _has_phrase(node) -> bool:

@@ -396,3 +396,45 @@ def test_facet_counts_vs_pandas(spark, index_dir, corpus, corpus_pdf):
         cnt[str(d % 3)] = cnt.get(str(d % 3), 0) + 1
     want = sorted(cnt.items(), key=lambda r: (-r[1], r[0]))
     assert got == want
+
+
+PAGE_SHAPES = [
+    "return AND relational",
+    "return OR characters NOT self",
+    "return relational self",  # ranked shape pages its match set (OR)
+]
+
+
+def test_search_page_walk_and_parity(serving_pair):
+    """Keyset pagination: serving == distributed on every page, the
+    page walk reconstructs the full ordered match set, per-bucket caps
+    and frontier bucket pruning never drop or reorder ids."""
+    base, serv = serving_pair
+    for q in PAGE_SHAPES:
+        full = [r.doc_id for r in base.search_page(q, page_size=10**6).collect()]
+        assert full == sorted(set(full)) and full
+        assert [
+            r.doc_id for r in serv.search_page(q, page_size=10**6).collect()
+        ] == full
+        walked, after = [], None
+        while True:
+            page = [
+                r.doc_id
+                for r in serv.search_page(q, page_size=7, after_doc_id=after).collect()
+            ]
+            assert page == sorted(page) and len(page) <= 7
+            walked.extend(page)
+            if len(page) < 7:
+                break
+            after = page[-1]
+        assert walked == full, q
+        # mid-stream page: both engines, exact slice semantics
+        after = full[2]
+        assert (
+            [r.doc_id for r in serv.search_page(q, 5, after).collect()]
+            == [r.doc_id for r in base.search_page(q, 5, after).collect()]
+            == full[3:8]
+        )
+        # keyset past the last id: empty page from both plans
+        assert serv.search_page(q, 5, full[-1]).count() == 0
+        assert base.search_page(q, 5, full[-1]).count() == 0

@@ -861,6 +861,25 @@ def q_facet_search(spark, sf_dir):
     return eng.facet_counts("spark OR merge", meta, "source")
 
 
+def q_fuzzy_correct(spark, sf_dir):
+    """Dictionary spell correction (round 5, plans/engine.py
+    correct_terms): best vocabulary term within 2 edits per misspelled
+    input, ranked (distance, cf desc, term) — "did you mean" from the
+    index's own dictionary.  Length-gap pruning feeds the JVM
+    levenshtein; one window rank picks the winner.  Oracle: the same
+    candidate set and rank over the SQL-recreated vocabulary."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(
+        spark, _unstemmed_index(spark, sf_dir), use_stemmer=False,
+        cache_term_stats=True, fast_path=False,
+    )
+    res = eng.correct_terms(["sparc", "mergee", "windoq"], max_dist=2)
+    return res.select(
+        "input", "term", F.col("dist").cast("long").alias("dist"), "cf"
+    )
+
+
 def q_page_search(spark, sf_dir):
     """Keyset pagination (round 5, plans/engine.py search_page): the
     20 smallest matching doc_ids strictly greater than the page key
@@ -901,6 +920,7 @@ QUERIES = {
     "snippets": q_snippets,
     "facet_search": q_facet_search,
     "page_search": q_page_search,
+    "fuzzy_correct": q_fuzzy_correct,
     "phrase_prefix_search": q_phrase_prefix_search,
     "phrase_prefix_positional": q_phrase_prefix_positional,
     "stopterm_ranked": q_stopterm_ranked,
@@ -1629,6 +1649,27 @@ ORACLES["facet_search"] = f"""
        OR list_contains({_SQL_TOKS}, 'merge')
     GROUP BY source
     ORDER BY cnt DESC, value
+"""
+
+ORACLES["fuzzy_correct"] = f"""
+    WITH vocab AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cf
+        FROM (SELECT unnest({_SQL_TOKS}) AS term FROM documents)
+        GROUP BY term
+    ),
+    cand AS (
+        SELECT i.input, v.term,
+               CAST(levenshtein(i.input, v.term) AS BIGINT) AS dist, v.cf
+        FROM (VALUES ('sparc'), ('mergee'), ('windoq')) AS i(input), vocab v
+        WHERE levenshtein(i.input, v.term) <= 2
+    )
+    SELECT input, term, dist, cf
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY input ORDER BY dist, cf DESC, term
+        ) AS rn FROM cand
+    )
+    WHERE rn = 1
 """
 
 ORACLES["page_search"] = f"""

@@ -1197,6 +1197,64 @@ class SearchEngine:
             .limit(k)
         )
 
+    def correct_terms(self, inputs: list[str], max_dist: int = 2) -> DataFrame:
+        """Dictionary spell correction: for each input term, the best
+        dictionary term within ``max_dist`` edits, ranked
+        (distance asc, cf desc, term asc) — "did you mean" over the
+        index's own vocabulary, weighted by how often the candidate
+        actually occurs in the corpus.
+
+        Plan (100 TB shape): the term dictionary aggregates from the
+        index's (term, cf) rows — metadata-scale, one partial-agg
+        shuffle; the tiny input list broadcasts into a nested-loop join
+        whose ``|length(term) - length(input)| <= max_dist`` predicate
+        prunes candidates before the JVM ``levenshtein`` runs (edit
+        distance can never beat a length gap); one row per input
+        survives a window rank.  No Python in the loop.  Inputs with no
+        candidate within budget are absent from the result.  Returns
+        (input, term, dist, cf)."""
+        from pyspark.sql.window import Window
+
+        inp = self.spark.createDataFrame(
+            [(t,) for t in sorted(set(inputs))], "input string"
+        )
+        vocab = self.index.groupBy("term").agg(F.sum("cf").alias("cf"))
+        cand = (
+            vocab.join(
+                F.broadcast(inp),
+                F.abs(F.length("term") - F.length("input")) <= max_dist,
+            )
+            .withColumn("dist", F.levenshtein("input", "term"))
+            .filter(F.col("dist") <= max_dist)
+        )
+        w = Window.partitionBy("input").orderBy(
+            F.asc("dist"), F.desc("cf"), F.asc("term")
+        )
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("input", "term", "dist", F.col("cf").cast("long").alias("cf"))
+        )
+
+    def correct_query(self, query: str, max_dist: int = 2) -> str:
+        """Free-text query correction: analyzed terms absent from the
+        dictionary are replaced by their best :meth:`correct_terms`
+        correction (terms with no correction in budget pass through —
+        they simply match nothing, the engine's normal unknown-term
+        behavior).  Requires cached term stats so known terms are a
+        dict probe, not a job."""
+        if self.term_stats is None:
+            raise ValueError("correct_query needs cache_term_stats=True")
+        toks = self._q(query)
+        unknown = sorted({t for t in toks if t not in self.term_stats})
+        if not unknown:
+            return " ".join(toks)
+        fixes = {
+            r.input: r.term
+            for r in self.correct_terms(unknown, max_dist).collect()
+        }
+        return " ".join(fixes.get(t, t) for t in toks)
+
     def facet_counts(self, query: str, meta: DataFrame, col: str) -> DataFrame:
         """Faceted search: the distribution of metadata column ``col``
         over the FULL result set of ``query`` (boolean queries return

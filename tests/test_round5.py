@@ -438,3 +438,55 @@ def test_search_page_walk_and_parity(serving_pair):
         # keyset past the last id: empty page from both plans
         assert serv.search_page(q, 5, full[-1]).count() == 0
         assert base.search_page(q, 5, full[-1]).count() == 0
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_correct_terms_vs_python_oracle(spark, index_dir):
+    """Spell correction == exact python DP over the full vocabulary
+    under the (dist asc, cf desc, term asc) rank; known terms correct
+    to themselves at distance 0; out-of-budget inputs are absent."""
+    eng = SearchEngine(spark, index_dir, cache_term_stats=True, fast_path=False)
+    vocab = eng.term_stats  # term -> (df, cf)
+    # a term whose re-analyzed form is itself (stemming is not
+    # idempotent: 'pars' — the stem of 'parse' — re-stems to 'par')
+    known = next(
+        t for t in sorted(vocab) if len(t) > 3 and eng._q(t) == [t]
+    )
+    inputs = [known, known + "q", known[:-1] + "zz", "qqqqqqqqqq"]
+    got = {
+        r.input: (r.term, r.dist, r.cf)
+        for r in eng.correct_terms(inputs, max_dist=2).collect()
+    }
+    for inp in inputs:
+        cand = [
+            (d, -vocab[t][1], t)
+            for t in vocab
+            if (d := _lev(inp, t)) <= 2
+        ]
+        if not cand:
+            assert inp not in got, inp
+            continue
+        d, ncf, t = min(cand)
+        assert got[inp] == (t, d, -ncf), inp
+    # correct_query: unknown analyzed terms swap to their correction,
+    # known terms pass through untouched
+    toks = eng._q(f"{known} {known}q")
+    fixed = eng.correct_query(f"{known} {known}q").split()
+    assert fixed[0] == toks[0]
+    best = min(
+        (d, -vocab[t][1], t)
+        for t in vocab
+        if (d := _lev(toks[1], t)) <= 2
+    )
+    assert fixed[1] == best[2]

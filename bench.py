@@ -128,6 +128,26 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name + "_serving"] = round(min(runs), 4)
 
+    # round 5: keyset pagination (frontier-bucket-pruned page) and
+    # dictionary spell correction, timed on the serving engine
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        engine_serving.search_page(
+            QUERY_SET["q_bool_and4"], page_size=100,
+            after_doc_id=engine_serving.n_docs // 2,
+        ).collect()
+        runs.append(time.time() - t0)
+    timings["q_page_serving"] = round(min(runs), 4)
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        engine_serving.correct_terms(
+            ["sparc", "mergee", "windoq"], max_dist=2
+        ).collect()
+        runs.append(time.time() - t0)
+    timings["fuzzy_correct"] = round(min(runs), 4)
+
     # pipeline headliners at the same SF
     from informationretrieval_en_people_cn_spark import api
 

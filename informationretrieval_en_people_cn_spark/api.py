@@ -721,6 +721,25 @@ def q_refresh_topk(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score_r"))
 
 
+def q_timetravel_topk(spark, sf_dir):
+    """Snapshot TIME TRAVEL value-checked end-to-end: the refresh
+    fixture commits v1 (base corpus) then v2 (base + shifted
+    re-ingest); opening the engine pinned ``at_version=1`` must serve
+    the HISTORICAL index — the DuckDB oracle recomputes BM25 over the
+    base documents table only, so a pin that silently followed the
+    pointer to v2 (which scores the +100000-shifted docs too) would
+    hash-mismatch.  Iceberg ``VERSION AS OF`` semantics
+    (operators/build.py IndexPaths(version=...), snapshot log appended
+    by streaming/incremental.py _commit_snapshot)."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(
+        spark, _refreshed_index(spark, sf_dir), use_stemmer=False, at_version=1
+    )
+    res = eng.search("merge window spark", k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score_r"))
+
+
 def q_media_decoded(spark, sf_dir):
     """REAL stdlib media decode, VALUE-CHECKED: synth_media_real builds
     spec-valid BMP/PPM/WAV bytes whose decoded header fields + content
@@ -956,6 +975,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_decoded": q_media_decoded,
     "refresh_topk": q_refresh_topk,
+    "timetravel_topk": q_timetravel_topk,
     "search_engine_topk": q_search_engine_topk,
     "search_engine_topk_unstemmed": q_search_engine_topk_unstemmed,
 }
@@ -1577,6 +1597,14 @@ _BM25_DOCS2 = _BM25_SQL.replace("FROM documents d", "FROM docs2 d").replace(
 )
 ORACLES["refresh_topk"] = (
     f"SELECT * FROM ({_BM25_DOCS2}) ORDER BY score_r DESC, doc_id LIMIT 10"
+)
+
+# ---- timetravel_topk oracle: the v1 snapshot predates the second
+# batch, so BM25 over the BASE documents table alone is the ground
+# truth — identical SQL to the unstemmed flagship; only the Spark side
+# differs (pinned historical snapshot of the twice-refreshed index)
+ORACLES["timetravel_topk"] = (
+    f"SELECT * FROM ({_BM25_SQL}) ORDER BY score_r DESC, doc_id LIMIT 10"
 )
 
 # ---- media_decoded oracle: the real-decoder outputs are closed-form

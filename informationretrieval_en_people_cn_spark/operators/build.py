@@ -351,6 +351,42 @@ def _doclens_from_runs(runs: DataFrame) -> DataFrame:
 
 
 POINTER_NAME = "_current.json"
+SNAPLOG_NAME = "_snapshots.jsonl"
+
+
+def snapshots(out_dir: str) -> list[dict]:
+    """Committed snapshot history, oldest→newest (the Iceberg
+    ``snapshots`` metadata-table analogue).  One row per
+    ``refresh_index`` commit from the append-only ``_snapshots.jsonl``
+    log, plus the implicit v0 row when a fresh-build layout exists.
+    ``retained`` flags whether the snapshot's directories are still on
+    disk (GC keeps the newest ``retain_versions``; see
+    ``refresh_index``) — only retained versions are time-travel
+    openable."""
+    import json
+
+    rows: dict[int, dict] = {}
+    if os.path.isdir(os.path.join(out_dir, "index")):
+        rows[0] = {"version": 0, "index": "index", "docs": "docs",
+                   "stats": "stats", "ts": None}
+    log = os.path.join(out_dir, SNAPLOG_NAME)
+    if os.path.exists(log):
+        with open(log, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                r = json.loads(line)
+                rows[int(r["version"])] = r
+    out = []
+    for v in sorted(rows):
+        r = rows[v]
+        r["retained"] = all(
+            os.path.isdir(os.path.join(out_dir, r[k]))
+            for k in ("index", "docs", "stats")
+        )
+        out.append(r)
+    return out
 
 
 class IndexPaths:
@@ -358,20 +394,51 @@ class IndexPaths:
     when one exists (written by ``refresh_index``'s snapshot commit —
     the Iceberg-style atomic pointer that also works on object stores,
     where rename-as-swap does not).  Without a pointer the default
-    table names apply (a fresh ``build_index`` layout)."""
+    table names apply (a fresh ``build_index`` layout).
 
-    def __init__(self, out_dir: str):
+    ``version`` pins resolution to a HISTORICAL snapshot (Iceberg
+    ``VERSION AS OF`` time travel): names come from the snapshot log,
+    and a version whose directories the refresh GC already dropped
+    raises ``FileNotFoundError`` instead of silently serving the
+    current tables."""
+
+    def __init__(self, out_dir: str, version: int | None = None):
         import json
 
         self.out_dir = out_dir
         names = {"index": "index", "docs": "docs", "stats": "stats"}
         self.version = 0
-        ptr = os.path.join(out_dir, POINTER_NAME)
-        if os.path.exists(ptr):
-            with open(ptr, encoding="utf-8") as f:
-                snap = json.load(f)  # atomic replace ⇒ never torn
+        if version is None:
+            ptr = os.path.join(out_dir, POINTER_NAME)
+            if os.path.exists(ptr):
+                with open(ptr, encoding="utf-8") as f:
+                    snap = json.load(f)  # atomic replace ⇒ never torn
+                names.update({k: snap[k] for k in names if k in snap})
+                self.version = int(snap.get("version", 0))
+        else:
+            hist = {s["version"]: s for s in snapshots(out_dir)}
+            snap = hist.get(int(version))
+            if snap is None and int(version) > 0:
+                # log predates this dir (pre-time-travel commits): the
+                # refresh naming scheme is deterministic — derive it
+                snap = {k: f"{k}_v{int(version)}" for k in names}
+            if snap is None:
+                raise FileNotFoundError(
+                    f"no snapshot v{version} recorded under {out_dir}"
+                )
             names.update({k: snap[k] for k in names if k in snap})
-            self.version = int(snap.get("version", 0))
+            self.version = int(version)
+            missing = [
+                k for k in names
+                if not os.path.isdir(os.path.join(out_dir, names[k]))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"snapshot v{version} is not retained (GC dropped "
+                    f"{', '.join(names[k] for k in missing)}); raise "
+                    "retain_versions on refresh_index to keep deeper "
+                    "history"
+                )
         self.docs = os.path.join(out_dir, names["docs"])
         self.index = os.path.join(out_dir, names["index"])
         self.stats = os.path.join(out_dir, names["stats"])

@@ -292,6 +292,7 @@ class SearchEngine:
         decode_repartition_min_sumdf: int = 2_000_000,
         phrase_via_positions: bool = False,
         serving_phrase_collect_max: int = 200_000,
+        at_version: int | None = None,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -330,6 +331,11 @@ class SearchEngine:
         self._content_cache_max_bytes = content_cache_max_bytes
         self._fast_path_req = fast_path
         self._persist_doclens = persist_doclens
+        # time travel: pin every query to a historical snapshot
+        # (Iceberg VERSION AS OF).  A pinned engine never follows the
+        # pointer — reload() is a no-op — and opening a GC'd version
+        # fails loudly at construction (IndexPaths raises).
+        self.at_version = at_version
         self._doclens_cluster = None
         self._bucket_doclens = None
         self._load()
@@ -342,7 +348,8 @@ class SearchEngine:
         from ..operators.build import IndexPaths
 
         spark, corpus = self.spark, self._corpus
-        paths = IndexPaths(self.index_dir)  # pointer-aware (snapshot commits)
+        # pointer-aware (snapshot commits); at_version pins time travel
+        paths = IndexPaths(self.index_dir, version=self.at_version)
         self.version = paths.version
         self.index = spark.read.parquet(paths.index)
         self.docs = spark.read.parquet(paths.docs)
@@ -521,6 +528,8 @@ class SearchEngine:
         GC keeps the immediately-previous version on disk)."""
         from ..operators.build import IndexPaths
 
+        if self.at_version is not None:  # time-travel pin: never follow
+            return False  # the pointer past the pinned snapshot
         if IndexPaths(self.index_dir).version == self.version:
             return False
         for cached in (self._doclens_cluster, self._bucket_doclens):

@@ -31,6 +31,7 @@ from .. import checkpoint as ckpt
 from ..operators.build import (
     INDEX_SCHEMA,
     POINTER_NAME,
+    SNAPLOG_NAME,
     IndexPaths,
     _merge_bucket,
     partition_runs,
@@ -167,6 +168,17 @@ def _commit_snapshot(out_dir: str, names: dict[str, str], version: int) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, ptr)
+    # append-only snapshot log (the Iceberg `snapshots` metadata table):
+    # time-travel opens (IndexPaths(version=N)) resolve names here.
+    # Appended AFTER the pointer swap so the log never lists an
+    # uncommitted snapshot; a crash in between loses only the history
+    # row, which IndexPaths reconstructs from the deterministic naming.
+    import time as _time
+
+    with open(os.path.join(out_dir, SNAPLOG_NAME), "a", encoding="utf-8") as f:
+        f.write(json.dumps({"version": version, "ts": _time.time(), **names}) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
     # fsync the directory so the rename itself survives a crash (readers
     # can never see a torn pointer either way, only a stale one — this
     # closes that stale-after-crash window on POSIX filesystems)
@@ -187,6 +199,7 @@ def refresh_index(
     corpus: DataFrame | None = None,
     block_size: int = 128,
     index_files: int = 8,
+    retain_versions: int = 2,
 ) -> None:
     """Re-merge the committed runs (batch + streamed) into a NEW index
     snapshot AND rebuild the docs/stats tables, then atomically commit
@@ -300,11 +313,13 @@ def refresh_index(
 
     _commit_snapshot(out_dir, names, version)
 
-    # GC: drop snapshots OLDER than the one we just superseded — the
-    # immediately-previous version stays on disk for readers that
-    # resolved the pointer before this commit
+    # GC: keep the newest `retain_versions` snapshots (default 2 = the
+    # new one + the immediately-previous, which stays on disk for
+    # readers that resolved the pointer before this commit).  Deeper
+    # retention (retain_versions > 2) keeps older snapshots openable
+    # via time travel (SearchEngine(at_version=N) / IndexPaths).
     keep = {new_index, new_docs, new_stats, old.index, old.docs, old.stats}
-    for v in range(version - 1):
+    for v in range(version - max(2, int(retain_versions)) + 1):
         for kind in ("index", "docs", "stats"):
             p = os.path.join(out_dir, f"{kind}_v{v}" if v else kind)
             if p not in keep and os.path.exists(p):

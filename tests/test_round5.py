@@ -490,3 +490,75 @@ def test_correct_terms_vs_python_oracle(spark, index_dir):
         if (d := _lev(toks[1], t)) <= 2
     )
     assert fixed[1] == best[2]
+
+
+def test_snapshot_time_travel(spark, corpus, tmp_path):
+    """Iceberg-style time travel: every refresh appends to the snapshot
+    log; SearchEngine(at_version=N) pins a historical snapshot (results
+    equal an engine opened before the later refresh, reload() refuses
+    to advance), snapshots() lists history with retained flags, and the
+    GC honors retain_versions — a version it drops raises loudly on
+    open instead of silently serving current tables."""
+    from informationretrieval_en_people_cn_spark.operators.build import (
+        IndexPaths,
+        snapshots,
+    )
+    from informationretrieval_en_people_cn_spark.streaming.incremental import (
+        CORPUS_SCHEMA,
+        incremental_index,
+        refresh_index,
+    )
+
+    in_dir = str(tmp_path / "incoming")
+    out = str(tmp_path / "ttidx")
+    lo, span = 0, 1 << 62
+    half1 = corpus.filter(F.col("doc_id") % 2 == 0)
+    half2 = corpus.filter(F.col("doc_id") % 2 == 1)
+
+    def ingest(batch):
+        batch.write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(in_dir)
+        assert incremental_index(
+            stream, out, lo=lo, span=span, buckets=8
+        ).awaitTermination(120)
+
+    ingest(half1)
+    refresh_index(spark, out, corpus=half1)            # -> v1
+    want_v1 = [
+        (r.doc_id, r.score)
+        for r in SearchEngine(spark, out).search("merge window", 10).collect()
+    ]
+
+    ingest(half2)
+    refresh_index(spark, out, corpus=corpus)           # -> v2
+
+    hist = snapshots(out)
+    assert [s["version"] for s in hist] == [1, 2]
+    assert all(s["retained"] for s in hist)
+
+    pinned = SearchEngine(spark, out, at_version=1)
+    assert pinned.version == 1
+    assert pinned.n_docs == half1.count()
+    got = [(r.doc_id, r.score) for r in pinned.search("merge window", 10).collect()]
+    assert got == want_v1
+    assert pinned.reload() is False            # pin never follows the pointer
+    assert pinned.version == 1
+
+    # current (unpinned) view sees the full corpus
+    assert SearchEngine(spark, out).n_docs == corpus.count()
+
+    # deeper retention keeps v1 openable across the next refresh...
+    refresh_index(spark, out, corpus=corpus, retain_versions=3)   # -> v3
+    assert SearchEngine(spark, out, at_version=1).n_docs == half1.count()
+
+    # ...default retention (2) then GCs v1+v2: loud failure, flagged log
+    refresh_index(spark, out, corpus=corpus)           # -> v4
+    hist = {s["version"]: s["retained"] for s in snapshots(out)}
+    assert hist == {1: False, 2: False, 3: True, 4: True}
+    with pytest.raises(FileNotFoundError):
+        IndexPaths(out, version=1)
+    with pytest.raises(FileNotFoundError):
+        SearchEngine(spark, out, at_version=2)
+    assert SearchEngine(spark, out, at_version=3).version == 3
+    with pytest.raises(FileNotFoundError):
+        IndexPaths(out, version=99)            # never existed

@@ -831,6 +831,39 @@ def q_ranked_mixed_serving(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score_r"))
 
 
+def q_scoped_topk(spark, sf_dir):
+    """Metadata-SCOPED ranked search (round 5): BM25 top-10 restricted
+    to docs passing a predicate over the docs-table metadata columns —
+    the code-search facility the input_hint's (repo, path, lang)
+    columns exist for (``lang:py foo``-style filters).  The filter
+    rides the doclen side of the score join (predicate pushdown to the
+    docs parquet scan, no extra shuffle); BM25 stats stay GLOBAL, so
+    surviving docs score exactly as in the unscoped query — which is
+    what the oracle checks: unscoped BM25 SQL joined to documents
+    WHERE lang = 'en'.  plans/engine.py search(where=...)."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(spark, _unstemmed_index(spark, sf_dir), use_stemmer=False)
+    res = eng.search("merge window spark", k=10, where="lang = 'en'")
+    return res.select("doc_id", F.round("score", 6).alias("score_r"))
+
+
+def q_scoped_topk_serving(spark, sf_dir):
+    """The scoped query through the bucket-local serving kernel: allowed
+    doc_ids ship as per-bucket sorted arrays (grid-bucketed pushdown
+    scan) and the DAAT kernel masks non-members before its local top-k
+    — same oracle as scoped_topk, so the mask path is value-checked
+    bit-for-bit against the filtered-join plan's semantics."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(
+        spark, _unstemmed_index(spark, sf_dir), use_stemmer=False,
+        cache_term_stats=True, fast_path=False, persist_doclens=True,
+    )
+    res = eng.search("merge window spark", k=10, where="lang = 'en'")
+    return res.select("doc_id", F.round("score", 6).alias("score_r"))
+
+
 def q_completions(spark, sf_dir):
     """Autocomplete (round 5): top-10 dictionary completions of a
     prefix ranked by collection frequency — the cf-ranked read of the
@@ -935,6 +968,8 @@ QUERIES = {
     "phrase_positional": q_phrase_positional,
     "phrase_positional_bucketed": q_phrase_positional_bucketed,
     "ranked_mixed_serving": q_ranked_mixed_serving,
+    "scoped_topk": q_scoped_topk,
+    "scoped_topk_serving": q_scoped_topk_serving,
     "completions": q_completions,
     "snippets": q_snippets,
     "facet_search": q_facet_search,
@@ -1598,6 +1633,18 @@ _BM25_DOCS2 = _BM25_SQL.replace("FROM documents d", "FROM docs2 d").replace(
 ORACLES["refresh_topk"] = (
     f"SELECT * FROM ({_BM25_DOCS2}) ORDER BY score_r DESC, doc_id LIMIT 10"
 )
+
+# ---- scoped_topk oracle: GLOBAL BM25 stats, result set restricted to
+# the metadata predicate — exactly "filter after score, stats
+# untouched", which is what both the filtered-doclen-join plan and the
+# serving kernel's allow-mask implement
+ORACLES["scoped_topk"] = f"""
+    SELECT s.doc_id, s.score_r FROM ({_BM25_SQL}) s
+    JOIN documents d ON d.doc_id = s.doc_id
+    WHERE d.lang = 'en'
+    ORDER BY s.score_r DESC, s.doc_id LIMIT 10
+"""
+ORACLES["scoped_topk_serving"] = ORACLES["scoped_topk"]
 
 # ---- timetravel_topk oracle: the v1 snapshot predates the second
 # batch, so BM25 over the BASE documents table alone is the ground

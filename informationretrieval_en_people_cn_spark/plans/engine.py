@@ -391,6 +391,7 @@ class SearchEngine:
         # re-shuffling it per query.
         self._doclens_cluster = None
         self._bucket_doclens = None
+        self._bexpr = None  # doc_id -> bucket expr (serving mode only)
         if self._persist_doclens:
             n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
             self._doclens_cluster = (
@@ -432,6 +433,7 @@ class SearchEngine:
                         (F.col("doc_id") >= r.lo) & (F.col("doc_id") <= r.hi),
                         F.lit(int(r.bucket)),
                     ).otherwise(bexpr)
+            self._bexpr = bexpr  # reused by metadata-scoped serving
             z = (
                 self.docs.select("doc_id", "doclen")
                 .withColumn("bucket", bexpr)
@@ -1381,11 +1383,23 @@ class SearchEngine:
             / (F.col("df") + F.lit(0.5))
         )
 
+    def _where_cond(self, where):
+        return F.expr(where) if isinstance(where, str) else where
+
+    def _allowed_docs(self, where) -> DataFrame:
+        """doc_ids passing a metadata predicate (``where``: SQL boolean
+        expression string or Column over the docs-table columns — repo,
+        path, commit, lang, ...).  The filter reaches the parquet scan
+        (predicate pushdown + column pruning to the referenced cols),
+        so selectivity is paid at the source, not post-join."""
+        return self.docs.filter(self._where_cond(where)).select("doc_id")
+
     def _score_rows(
         self,
         rows: DataFrame,
         stats: DataFrame,
         doc_range: tuple[int, int] | None = None,
+        where=None,
     ) -> DataFrame:
         """Decode + BM25-score index rows -> (doc_id, score).
 
@@ -1393,14 +1407,28 @@ class SearchEngine:
         that doc_id window — the docs table is doc_id-range-partitioned
         and sorted, so the filter becomes parquet min/max file pruning
         (the block-max plan scores 1-of-N buckets; scanning ALL doclens
-        for it would dwarf the decode it saved)."""
+        for it would dwarf the decode it saved).
+
+        ``where`` scopes scoring to docs passing a metadata predicate:
+        the filter rides the doclen side of the existing inner join —
+        non-matching docs never score, no extra join or shuffle appears
+        in the plan, and BM25 stats (idf, avgdl, N) stay GLOBAL (the
+        standard filtered-search semantics: restrict the result set,
+        not the collection model)."""
         k1, b = self.k1, self.b
         decoded = decode_postings_df(rows)
-        doclens = (
-            self._doclens_cluster
-            if self._doclens_cluster is not None
-            else self.docs.select("doc_id", "doclen")
-        )
+        if where is not None:
+            # the cluster cache holds (doc_id, doclen) only — metadata
+            # predicates re-scan the docs table (pushdown applies)
+            doclens = self.docs.filter(self._where_cond(where)).select(
+                "doc_id", "doclen"
+            )
+        else:
+            doclens = (
+                self._doclens_cluster
+                if self._doclens_cluster is not None
+                else self.docs.select("doc_id", "doclen")
+            )
         if doc_range is not None:
             doclens = doclens.filter(
                 (F.col("doc_id") >= doc_range[0])
@@ -1429,8 +1457,14 @@ class SearchEngine:
             ).alias("score")
         )
 
-    def score_terms(self, terms: list[str], k: int | None = None) -> DataFrame:
-        """BM25 over the disjunction of ``terms`` → (doc_id, score[, ...])."""
+    def score_terms(
+        self, terms: list[str], k: int | None = None, where=None
+    ) -> DataFrame:
+        """BM25 over the disjunction of ``terms`` → (doc_id, score[, ...]).
+
+        ``where`` restricts results to docs passing a metadata
+        predicate (see :meth:`_score_rows`); scores of surviving docs
+        are unchanged (global BM25 stats)."""
         terms = sorted(set(terms))
         rows = self._index_rows(terms)
         # the index is range-partitioned by TERM, so a Zipf-head term's
@@ -1448,11 +1482,13 @@ class SearchEngine:
             n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             rows = rows.repartition(n_parts, "term", "bucket")
         stats = self._term_df_stats(terms, rows)
-        agg = self._score_rows(rows, stats)
+        agg = self._score_rows(rows, stats, where=where)
         out = agg.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k else out
 
-    def score_terms_bucketed(self, terms: list[str], k: int | None = None) -> DataFrame:
+    def score_terms_bucketed(
+        self, terms: list[str], k: int | None = None, where=None
+    ) -> DataFrame:
         """Bucket-local DAAT — the sharded-search serving plan.
 
         The classic distributed IR architecture (one shard per doc
@@ -1479,6 +1515,12 @@ class SearchEngine:
         same total order.  A Zipf-head query touches nearly every doc,
         so without this the Arrow transfer back to the JVM is O(corpus)
         rows per query; with it, O(k × buckets).
+
+        ``where`` scopes results to a metadata predicate: allowed
+        doc_ids arrive as per-bucket sorted arrays (pushdown-filtered
+        docs scan, grid-bucketed, one tf-shaped shuffle) and the kernel
+        masks non-members before emit — scores of surviving docs are
+        bit-identical to the unscoped plan's.
         """
         import pandas as pd
 
@@ -1497,14 +1539,36 @@ class SearchEngine:
             .groupBy("bucket")
             .agg(F.collect_list(F.struct("term", "postings")).alias("frames"))
             .join(self._bucket_doclens, "bucket")
-            .select("frames", "dl_ids", "dl_lens")
         )
+        if where is not None:
+            # metadata scope: per-bucket sorted arrays of allowed
+            # doc_ids, built from a pushdown-filtered docs scan bucketed
+            # by the same grid arithmetic the cache used.  INNER join:
+            # buckets with no allowed docs never ship their frames.
+            allowed = (
+                self.docs.filter(self._where_cond(where))
+                .select("doc_id")
+                .withColumn("bucket", self._bexpr)
+                .where(F.col("bucket").isNotNull())
+                .groupBy("bucket")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("allow_ids"))
+            )
+            joined = joined.join(allowed, "bucket").select(
+                "frames", "dl_ids", "dl_lens", "allow_ids"
+            )
+        else:
+            joined = joined.select("frames", "dl_ids", "dl_lens")
 
         def gen(batches):
             for pdf in batches:
                 out_d, out_s = [], []
-                for frames, dl_ids, dl_lens in zip(
-                    pdf["frames"], pdf["dl_ids"], pdf["dl_lens"]
+                allow_col = (
+                    pdf["allow_ids"]
+                    if "allow_ids" in pdf.columns
+                    else [None] * len(pdf)
+                )
+                for frames, dl_ids, dl_lens, allow in zip(
+                    pdf["frames"], pdf["dl_ids"], pdf["dl_lens"], allow_col
                 ):
                     ids = np.asarray(dl_ids, dtype=np.int64)
                     lens = np.asarray(dl_lens, dtype=np.float64)
@@ -1546,6 +1610,10 @@ class SearchEngine:
                         )
                         acc[pos] += s
                         touched[pos] = True
+                    if allow is not None:  # metadata scope: emit only
+                        touched &= _sorted_member(  # allowed docs
+                            ids, np.asarray(allow, dtype=np.int64)
+                        )
                     bd, bs = ids[touched], acc[touched]
                     if k:  # exact local top-k: O(k), not O(touched),
                         bd, bs = _local_topk(bd, bs, k)  # rows cross Arrow
@@ -1775,7 +1843,9 @@ class SearchEngine:
         sumdf = sum(self.term_stats.get(t, (0, 0))[0] for t in set(terms))
         return sumdf >= self.blockmax_min_sumdf
 
-    def ranked(self, node: qt.RankedNode, raw_query: str, k: int = 10) -> DataFrame:
+    def ranked(
+        self, node: qt.RankedNode, raw_query: str, k: int = 10, where=None
+    ) -> DataFrame:
         terms = self._query_terms(raw_query)
         serving = self._bucket_doclens is not None and self.term_stats is not None
         if all(leaf.kind == "keyword" for leaf in node.children):
@@ -1783,17 +1853,21 @@ class SearchEngine:
             # frames (see score_terms_bucketed) — strictly less shuffle
             # than both the decoded-join and block-max plans
             if serving:
-                return self.score_terms_bucketed(terms, k)
-            if self._want_blockmax(terms):
+                return self.score_terms_bucketed(terms, k, where=where)
+            if where is None and self._want_blockmax(terms):
+                # a metadata scope thins every block below its stored
+                # score bound — pruning stays SOUND but stops paying
+                # (bounds grow slack as selectivity rises), so scoped
+                # queries keep the exhaustive filtered-doclen plan
                 return self.score_terms_blockmax(terms, k)
-        elif serving:
+        elif serving and where is None:
             # mixed-leaf serving: one frames-shuffle job scores AND
             # resolves phrase/prefix candidates bucket-locally
             try:
                 return self.ranked_bucketed(node, terms, k)
             except _ServingFallback:
                 pass  # reply_to leaf / over-budget phrase: distributed
-        scored = self.score_terms(terms)
+        scored = self.score_terms(terms, where=where)
         # candidates = union of leaf results (reference SearchEngine.py:274-276);
         # differs from plain disjunctive BM25 when leaves are phrases.
         # Left join keeps candidates none of whose terms survived (score
@@ -1803,8 +1877,13 @@ class SearchEngine:
             for leaf in node.children:
                 d = self._leaf_docids(leaf)
                 cand = d if cand is None else cand.unionByName(d)
+            cand = cand.distinct()
+            if where is not None:
+                # score-0 candidates must respect the scope too (the
+                # scored side is already doclen-filtered)
+                cand = cand.join(self._allowed_docs(where), "doc_id", "left_semi")
             scored = (
-                cand.distinct()
+                cand
                 .join(scored, "doc_id", "left")
                 .fillna(0.0, subset=["score"])
             )
@@ -2071,13 +2150,21 @@ class SearchEngine:
             return None
 
     # ---- entry point -----------------------------------------------------
-    def search(self, query: str, k: int = 10) -> DataFrame:
+    def search(self, query: str, k: int = 10, where=None) -> DataFrame:
         """Boolean queries → unranked doc_id set; else BM25 top-k
         (reference dispatch SearchEngine.py:251-292).  Routes through
         the driver-side fast path when its caches are loaded and the
-        query fits the Σdf budget; identical results either way."""
+        query fits the Σdf budget; identical results either way.
+
+        ``where`` scopes results to docs passing a metadata predicate
+        over the docs-table columns (e.g. ``"lang = 'py'"``,
+        ``"repo = 'org/x' AND path LIKE 'src/%'"``) — the code-search
+        facility the input table's (repo, path, lang) columns exist
+        for.  BM25 stats stay global; scoped queries skip the driver
+        fast path (its caches carry no metadata) and route to the
+        filtered distributed/serving plans."""
         node = qt.parse(query)
-        if self.fast_path and not (
+        if where is None and self.fast_path and not (
             self.phrase_via_positions and _has_phrase(node)
         ):
             # the driver fast path verifies phrases by substring; under
@@ -2088,17 +2175,24 @@ class SearchEngine:
         if isinstance(node, qt.OrNode):
             if self._bucket_doclens is not None:
                 try:
-                    return self.boolean_docids_bucketed(node).orderBy("doc_id")
+                    res = self.boolean_docids_bucketed(node)
                 except _ServingFallback:
-                    pass  # reply_to / over-budget phrase: distributed
-            return self.boolean_docids(node).orderBy("doc_id")
-        return self.ranked(node, query, k)
+                    res = None  # reply_to / over-budget phrase
+            else:
+                res = None
+            if res is None:
+                res = self.boolean_docids(node)
+            if where is not None:
+                res = res.join(self._allowed_docs(where), "doc_id", "left_semi")
+            return res.orderBy("doc_id")
+        return self.ranked(node, query, k, where=where)
 
     def search_page(
         self,
         query: str,
         page_size: int = 100,
         after_doc_id: int | None = None,
+        where=None,
     ) -> DataFrame:
         """Keyset-paginated match set: the ``page_size`` smallest
         doc_ids matching ``query`` that are strictly greater than
@@ -2122,6 +2216,18 @@ class SearchEngine:
             if any(c.negated for c in node.children):
                 raise qt.QueryError("cannot paginate a negated ranked query")
             node = qt.OrNode([qt.AndNode([c]) for c in node.children])
+        if where is not None:
+            # metadata scope + pagination: the serving kernel's
+            # per-bucket page_size cap runs BEFORE any post-filter could
+            # — capped-away ids might have been in-page after filtering,
+            # so scoped pages take the distributed plan (semi-join on a
+            # pushdown-filtered docs scan), keeping exactness
+            rel = self.boolean_docids(node).join(
+                self._allowed_docs(where), "doc_id", "left_semi"
+            )
+            if after_doc_id is not None:
+                rel = rel.filter(F.col("doc_id") > after_doc_id)
+            return rel.orderBy("doc_id").limit(page_size)
         if self._bucket_doclens is not None:
             try:
                 tree, frame_terms = self._compile_serving_tree(node)

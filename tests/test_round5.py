@@ -562,3 +562,76 @@ def test_snapshot_time_travel(spark, corpus, tmp_path):
     assert SearchEngine(spark, out, at_version=3).version == 3
     with pytest.raises(FileNotFoundError):
         IndexPaths(out, version=99)            # never existed
+
+
+def test_metadata_scoped_search(spark, corpus, tmp_path):
+    """where= scoping: results are exactly the unscoped ranking
+    restricted to docs passing the predicate (global BM25 stats — no
+    score drift), identical through the distributed filtered-join plan
+    and the serving kernel's allow-mask; boolean shapes intersect with
+    the allowed set; scoped pagination stays exact; the driver fast
+    path is bypassed (its caches carry no metadata)."""
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus, out, slices=2, salt=2)
+    dist = SearchEngine(spark, out)
+    serv = SearchEngine(
+        spark, out, cache_term_stats=True, fast_path=False, persist_doclens=True
+    )
+    fast = SearchEngine(
+        spark, out, cache_term_stats=True, cache_doclens=True, fast_path=True
+    )
+    where = "lang = 'py' OR path LIKE '%file_7%'"
+    allowed = {
+        r.doc_id for r in dist.docs.filter(F.expr(where)).select("doc_id").collect()
+    }
+    assert 0 < len(allowed) < dist.n_docs
+
+    for q in ("merge window", "return merge compression"):
+        full = [
+            (r.doc_id, r.score)
+            for r in dist.score_terms(dist._query_terms(q)).collect()
+        ]
+        want = sorted(
+            ((d, s) for d, s in full if d in allowed),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        got_d = [(r.doc_id, r.score) for r in dist.search(q, 10, where=where).collect()]
+        got_s = [(r.doc_id, r.score) for r in serv.search(q, 10, where=where).collect()]
+        got_f = [(r.doc_id, r.score) for r in fast.search(q, 10, where=where).collect()]
+        assert got_d == want, q          # == unscoped ranking ∩ allowed
+        assert got_s == want, q          # serving mask bit-identical
+        assert got_f == want, q          # fast path correctly bypassed
+
+    # mixed-leaf ranked (phrase candidate) respects the scope
+    q = "merge window 'value table'"
+    want = [
+        (r.doc_id, r.score) for r in dist.search(q, 10, where=where).collect()
+    ]
+    assert all(d in allowed for d, _ in want)
+    assert [
+        (r.doc_id, r.score) for r in serv.search(q, 10, where=where).collect()
+    ] == want
+
+    # boolean = unscoped ∩ allowed, both plans
+    for q in ("merge AND window", "merge NOT window", "par* OR merge"):
+        base = {r.doc_id for r in dist.search(q).collect()}
+        want_ids = sorted(base & allowed)
+        assert [r.doc_id for r in dist.search(q, where=where).collect()] == want_ids
+        assert [r.doc_id for r in serv.search(q, where=where).collect()] == want_ids
+
+    # scoped keyset pagination: exact pages, strictly ascending
+    q = "return OR merge"
+    want_ids = sorted(
+        {r.doc_id for r in dist.search(q).collect()} & allowed
+    )
+    pages, after = [], None
+    while True:
+        p = [r.doc_id for r in serv.search_page(q, 7, after, where=where).collect()]
+        if not p:
+            break
+        pages += p
+        after = p[-1]
+    assert pages == want_ids
+
+    serv._doclens_cluster.unpersist()
+    serv._bucket_doclens.unpersist()

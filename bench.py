@@ -148,6 +148,21 @@ def main() -> None:
         runs.append(time.time() - t0)
     timings["fuzzy_correct"] = round(min(runs), 4)
 
+    # round 5: batched multi-query serving — 4 ranked keyword queries
+    # through ONE shared-kernel job (union of terms shuffles once, each
+    # bucket decodes each term once).  Compare against the sum of the
+    # three q_*_serving ranked keys to read the amortization.
+    batch_qs = [
+        QUERY_SET["q_ranked_3term"], QUERY_SET["q_ranked_2term"],
+        QUERY_SET["q_keyword"], "merge compression posting buffer",
+    ]
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        engine_serving.search_batch(batch_qs, k=10).collect()
+        runs.append(time.time() - t0)
+    timings["q_batch4_serving"] = round(min(runs), 4)
+
     # pipeline headliners at the same SF
     from informationretrieval_en_people_cn_spark import api
 

@@ -864,6 +864,27 @@ def q_scoped_topk_serving(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score_r"))
 
 
+_BATCH_QUERIES = ["merge window spark", "value table compression", "data query"]
+
+
+def q_batch_topk(spark, sf_dir):
+    """Batched multi-query serving (round 5): three ranked queries in
+    ONE shared-kernel job — the union of the queries' terms shuffles
+    once, each bucket decodes each term once, every query reuses the
+    decoded score vectors, per-query local top-k + window global top-k
+    (plans/engine.py search_batch / _score_batch_bucketed).  The oracle
+    is the UNION ALL of the three per-query BM25 top-10s, qid-tagged —
+    so per-query bit-identity of the shared kernel is value-checked."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(
+        spark, _unstemmed_index(spark, sf_dir), use_stemmer=False,
+        cache_term_stats=True, fast_path=False, persist_doclens=True,
+    )
+    res = eng.search_batch(_BATCH_QUERIES, k=10)
+    return res.select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+
+
 def q_completions(spark, sf_dir):
     """Autocomplete (round 5): top-10 dictionary completions of a
     prefix ranked by collection frequency — the cf-ranked read of the
@@ -970,6 +991,7 @@ QUERIES = {
     "ranked_mixed_serving": q_ranked_mixed_serving,
     "scoped_topk": q_scoped_topk,
     "scoped_topk_serving": q_scoped_topk_serving,
+    "batch_topk": q_batch_topk,
     "completions": q_completions,
     "snippets": q_snippets,
     "facet_search": q_facet_search,
@@ -1645,6 +1667,20 @@ ORACLES["scoped_topk"] = f"""
     ORDER BY s.score_r DESC, s.doc_id LIMIT 10
 """
 ORACLES["scoped_topk_serving"] = ORACLES["scoped_topk"]
+
+# ---- batch_topk oracle: UNION ALL of the three queries' per-query
+# BM25 top-10s (the batch kernel must be bit-identical per query)
+_BATCH_TERM_SETS = [
+    "IN ('spark', 'merge', 'window')",
+    "IN ('value', 'table', 'compression')",
+    "IN ('data', 'query')",
+]
+ORACLES["batch_topk"] = " UNION ALL ".join(
+    f"SELECT CAST({i} AS INT) AS qid, doc_id, score_r FROM (SELECT * FROM ("
+    + _BM25_SQL.replace("IN ('spark', 'merge', 'window')", ts)
+    + ") ORDER BY score_r DESC, doc_id LIMIT 10)"
+    for i, ts in enumerate(_BATCH_TERM_SETS)
+)
 
 # ---- timetravel_topk oracle: the v1 snapshot predates the second
 # batch, so BM25 over the BASE documents table alone is the ground

@@ -2250,6 +2250,179 @@ class SearchEngine:
             rel = rel.filter(F.col("doc_id") > after_doc_id)
         return rel.orderBy("doc_id").limit(page_size)
 
+    def search_batch(self, queries: list[str], k: int = 10) -> DataFrame:
+        """Execute MANY ranked queries in one Spark job →
+        (qid, doc_id, score), qid = position in ``queries``, top-k per
+        query under (score desc, doc_id asc).
+
+        A serving tier amortizes per-job overhead across concurrent
+        requests: Q queries one-at-a-time pay Q × (planning + stage
+        launch + frame shuffle), and buckets touched by several queries
+        ship the shared terms' frames repeatedly.  Batched, the UNION
+        of all queries' terms shuffles ONCE, each bucket decodes each
+        term once, and every query reuses the decoded (positions,
+        scores) vectors — per-query cost approaches the pure numpy
+        accumulation.  Per-query results are bit-identical to
+        :meth:`score_terms_bucketed` (same term-sorted float64
+        accumulation per query; tested).
+
+        Shapes: pure-keyword ranked queries ride the shared kernel;
+        ranked queries with phrase/prefix/reply leaves fall back to
+        their per-query plans and union in (qid tagged); boolean
+        queries are rejected (no score — batch their matched PAGES via
+        :meth:`search_page` instead).  Without serving mode every query
+        takes the per-query path."""
+        parsed = []
+        for i, q in enumerate(queries):
+            node = qt.parse(q)
+            if isinstance(node, qt.OrNode):
+                raise qt.QueryError(
+                    f"search_batch executes ranked queries; query {i} "
+                    f"is boolean: {q!r}"
+                )
+            parsed.append((i, node, q))
+        serving = self._bucket_doclens is not None and self.term_stats is not None
+        batched: list[tuple[int, list[str]]] = []
+        fallback: list[tuple[int, "qt.RankedNode", str]] = []
+        for i, node, raw in parsed:
+            if serving and all(c.kind == "keyword" for c in node.children):
+                terms = self._query_terms(raw)
+                batched.append(
+                    (
+                        i,
+                        sorted(
+                            {
+                                t
+                                for t in terms
+                                if self.term_stats.get(t, (0, 0))[0] > 0
+                            }
+                        ),
+                    )
+                )
+            else:
+                fallback.append((i, node, raw))
+        outs = []
+        if batched:
+            outs.append(self._score_batch_bucketed(batched, k))
+        for i, node, raw in fallback:
+            outs.append(
+                self.ranked(node, raw, k).select(
+                    F.lit(i).cast("int").alias("qid"), "doc_id", "score"
+                )
+            )
+        if not outs:
+            return self.spark.createDataFrame(
+                [], "qid int, doc_id long, score double"
+            )
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        return res.orderBy("qid", F.desc("score"), F.asc("doc_id"))
+
+    def _score_batch_bucketed(
+        self, batched: list[tuple[int, list[str]]], k: int | None
+    ) -> DataFrame:
+        """Shared bucket-local DAAT kernel for a batch of keyword
+        queries: one frames shuffle for the union of terms; per bucket,
+        each term decodes + scores ONCE into (positions, scores)
+        vectors, then each query accumulates its own terms' vectors in
+        term-sorted order (the single-query float64 sequence) and emits
+        its local top-k.  Global per-query top-k is a window over
+        O(k × buckets × Q) rows."""
+        import pandas as pd
+
+        qspec = [(qid, terms) for qid, terms in batched if terms]
+        empty = self.spark.createDataFrame(
+            [], "qid int, doc_id long, score double"
+        )
+        if not qspec:
+            return empty
+        all_terms = sorted({t for _, ts in qspec for t in ts})
+        idf = {t: bm25_idf(self.n_docs, self.term_stats[t][0]) for t in all_terms}
+        k1, b, avgdl = self.k1, self.b, self.avgdl
+
+        joined = (
+            self._index_rows(all_terms)
+            .groupBy("bucket")
+            .agg(F.collect_list(F.struct("term", "postings")).alias("frames"))
+            .join(self._bucket_doclens, "bucket")
+            .select("frames", "dl_ids", "dl_lens")
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                out_q, out_d, out_s = [], [], []
+                for frames, dl_ids, dl_lens in zip(
+                    pdf["frames"], pdf["dl_ids"], pdf["dl_lens"]
+                ):
+                    ids = np.asarray(dl_ids, dtype=np.int64)
+                    lens = np.asarray(dl_lens, dtype=np.float64)
+                    svec: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+                    for fr in frames:
+                        d, t, _ = decode_frames(
+                            bytes(fr["postings"]), want_positions=False
+                        )
+                        pos = np.searchsorted(ids, d)
+                        pos_c = (
+                            np.minimum(pos, len(ids) - 1) if len(ids) else pos
+                        )
+                        # same cache-invariant check as the single-query
+                        # kernel: a posting doc absent from the bucket's
+                        # doclen array must fail loudly, not mis-credit
+                        if len(ids) == 0 or not np.array_equal(ids[pos_c], d):
+                            raise ValueError(
+                                "serving doclen cache is missing posting "
+                                f"doc_ids for term {fr['term']!r}: the "
+                                "docs table and the index disagree — "
+                                "rebuild or reload() the engine"
+                            )
+                        tf = t.astype(np.float64)
+                        s = (
+                            idf[fr["term"]]
+                            * (tf * (k1 + 1))
+                            / (tf + k1 * (1 - b + b * lens[pos_c] / avgdl))
+                        )
+                        svec[fr["term"]] = (pos_c, s)
+                    for qid, terms in qspec:
+                        acc = np.zeros(len(ids))
+                        touched = np.zeros(len(ids), dtype=bool)
+                        for t in terms:  # sorted ⇒ single-query order
+                            hit = svec.get(t)
+                            if hit is None:
+                                continue  # term absent from this bucket
+                            pos, s = hit
+                            acc[pos] += s
+                            touched[pos] = True
+                        bd, bs = ids[touched], acc[touched]
+                        if k:
+                            bd, bs = _local_topk(bd, bs, k)
+                        if len(bd):
+                            out_q.append(np.full(len(bd), qid, dtype=np.int32))
+                            out_d.append(bd)
+                            out_s.append(bs)
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.concatenate(out_q),
+                            "doc_id": np.concatenate(out_d),
+                            "score": np.concatenate(out_s),
+                        }
+                    )
+
+        scored = joined.mapInPandas(gen, "qid int, doc_id long, score double")
+        if k:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("qid").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            scored = (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .drop("rn")
+            )
+        return scored
+
 
 def _has_phrase(node) -> bool:
     """True if the parsed tree contains a phrase / phrase_prefix leaf."""

@@ -635,3 +635,50 @@ def test_metadata_scoped_search(spark, corpus, tmp_path):
 
     serv._doclens_cluster.unpersist()
     serv._bucket_doclens.unpersist()
+
+
+def test_search_batch_matches_single_queries(spark, corpus, tmp_path):
+    """search_batch: Q ranked queries through ONE shared-kernel job are
+    bit-identical per query to the single-query serving plan; phrase
+    and prefix-leaf queries fall back per-query but land in the same
+    (qid, doc_id, score) result; boolean queries are rejected; unknown
+    -term queries emit nothing for their qid."""
+    import informationretrieval_en_people_cn_spark.plans.querytree as qt
+
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus, out, slices=2, salt=2)
+    serv = SearchEngine(
+        spark, out, cache_term_stats=True, fast_path=False, persist_doclens=True
+    )
+    queries = [
+        "merge window spark",           # shared kernel
+        "value table compression",      # shared kernel
+        "return buffer",                # shared kernel (Zipf head)
+        "merge window 'value table'",   # phrase leaf -> per-query fallback
+        "par* merge",                   # prefix leaf -> per-query fallback
+        "zzzznotaterm qqqqnope",        # no known terms -> no rows
+        "merge window spark",           # duplicate query, distinct qid
+    ]
+    got = {}
+    for r in serv.search_batch(queries, k=10).collect():
+        got.setdefault(r.qid, []).append((r.doc_id, r.score))
+    for i, q in enumerate(queries):
+        want = [(r.doc_id, r.score) for r in serv.search(q, 10).collect()]
+        assert got.get(i, []) == want, f"qid {i}: {q!r}"
+    assert 5 not in got  # unknown-term query emitted nothing
+
+    with pytest.raises(qt.QueryError):
+        serv.search_batch(["merge AND window"])
+    assert serv.search_batch([], k=5).count() == 0
+
+    # without serving mode every query takes the per-query path — same
+    # results, same schema
+    dist = SearchEngine(spark, out)
+    got_d = {}
+    for r in dist.search_batch(queries[:3], k=10).collect():
+        got_d.setdefault(r.qid, []).append((r.doc_id, r.score))
+    for i in range(3):
+        assert got_d[i] == got[i]
+
+    serv._doclens_cluster.unpersist()
+    serv._bucket_doclens.unpersist()

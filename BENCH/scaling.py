@@ -199,6 +199,21 @@ PHRASE_SUITE = [
     "merge window 'stream merge'",
 ]
 
+# round-5 batched-serving suite (`query-batch` mode): ranked keyword
+# queries only (search_batch's shared-kernel shape — boolean shapes
+# have no score and are rejected by construction).  Same Zipf-head
+# vocabulary as QUERY_SUITE, so per-query work matches the unbatched
+# protocol; each client call executes the WHOLE suite as ONE job
+# (union of terms shuffles once, every bucket decodes each term once).
+BATCH_SUITE = [
+    "spark stream value data table",
+    "merge window hash join order",
+    "vector column scan group key",
+    "big small slow row customer",
+    "stream vector hash spark merge",
+    "data table window order key",
+]
+
 
 def _ensure_index(spark, positions: bool = False) -> str:
     """Build the shared 1.2M-doc index once (untimed, cached across
@@ -236,7 +251,7 @@ def _ensure_index(spark, positions: bool = False) -> str:
     return idx
 
 
-def query_one(cpus: int, phrase: bool = False) -> dict:
+def query_one(cpus: int, phrase: bool = False, batch: bool = False) -> dict:
     from informationretrieval_en_people_cn_spark.plans.engine import SearchEngine
     from informationretrieval_en_people_cn_spark.session import get_spark
 
@@ -268,24 +283,38 @@ def query_one(cpus: int, phrase: bool = False) -> dict:
     )
     from concurrent.futures import ThreadPoolExecutor
 
-    def run(q):
-        # first result page only: boolean shapes match ~80% of a
-        # Zipf-head corpus, and no serving API ships millions of ids to
-        # the caller per request.  search() orders before this limit, so
-        # the full distributed plan still executes (TakeOrdered) — only
-        # the driver transfer is capped.
-        eng.search(q, k=10).limit(1000).collect()
+    if batch:
+        # batched serving: each closed-loop client call is ONE
+        # search_batch job over the whole 6-query suite — 2×ROUNDS
+        # batch tasks = 2× the unbatched protocol's query volume, same
+        # 16-client pool, so qps is directly comparable
+        def run(_):
+            eng.search_batch(BATCH_SUITE, k=10).collect()
 
-    suite = PHRASE_SUITE if phrase else QUERY_SUITE
-    batch = [q for _ in range(QUERY_ROUNDS) for q in suite]
+        workload = list(range(QUERY_ROUNDS * 2))
+        n_queries = len(BATCH_SUITE) * len(workload)
+        warm = list(range(2))
+    else:
+        def run(q):
+            # first result page only: boolean shapes match ~80% of a
+            # Zipf-head corpus, and no serving API ships millions of
+            # ids to the caller per request.  search() orders before
+            # this limit, so the full distributed plan still executes
+            # (TakeOrdered) — only the driver transfer is capped.
+            eng.search(q, k=10).limit(1000).collect()
+
+        suite = PHRASE_SUITE if phrase else QUERY_SUITE
+        workload = [q for _ in range(QUERY_ROUNDS) for q in suite]
+        n_queries = len(workload)
+        warm = suite
     reps = int(os.environ.get("SCALING_REPS", "2"))
     best = None
     with ThreadPoolExecutor(QUERY_CLIENTS) as pool:
         # warm: codegen, py workers, parquet footers, concurrent paths
-        list(pool.map(run, suite))
+        list(pool.map(run, warm))
         for _ in range(reps):
             t0 = time.time()
-            list(pool.map(run, batch))
+            list(pool.map(run, workload))
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
     n_docs = eng.n_docs
@@ -294,9 +323,9 @@ def query_one(cpus: int, phrase: bool = False) -> dict:
         "cpus": cpus,
         "docs": n_docs,
         "clients": QUERY_CLIENTS,
-        "n_queries": len(batch),
+        "n_queries": n_queries,
         "suite_sec": round(best, 2),
-        "queries_per_sec": round(len(batch) / best, 3),
+        "queries_per_sec": round(n_queries / best, 3),
     }
 
 
@@ -374,7 +403,7 @@ def main():
     and the majority verdict (raw >= 0.8 OR vs-ceiling >= 0.9)."""
     mode = "build"
     args = sys.argv[1:]
-    if args and args[0] in ("query", "query-phrase"):
+    if args and args[0] in ("query", "query-phrase", "query-batch"):
         mode, args = args[0], args[1:]
     if args and args[0] == "prep-index":
         # unpinned one-time index build so no pinned window pays it
@@ -393,7 +422,15 @@ def main():
         if mode == "build":
             print(json.dumps(run_one(int(args[0]))))
         else:
-            print(json.dumps(query_one(int(args[0]), phrase=mode == "query-phrase")))
+            print(
+                json.dumps(
+                    query_one(
+                        int(args[0]),
+                        phrase=mode == "query-phrase",
+                        batch=mode == "query-batch",
+                    )
+                )
+            )
         return
     import statistics
 
@@ -438,6 +475,11 @@ def main():
         workload = "index build"
     elif mode == "query":
         workload = f"serving query suite ({len(QUERY_SUITE)} fat keyword/boolean queries)"
+    elif mode == "query-batch":
+        workload = (
+            f"BATCHED serving ({len(BATCH_SUITE)} ranked queries per "
+            "search_batch job, shared bucket-local kernel)"
+        )
     else:
         workload = (
             f"serving query suite incl. phrase shapes ({len(PHRASE_SUITE)} queries, "

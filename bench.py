@@ -330,7 +330,11 @@ def main() -> None:
     if os.path.exists(scaling_file):
         with open(scaling_file) as fh:
             by_mode = json.load(fh)
-        for mode, prefix in (("query", "serving"), ("query-phrase", "serving_phrase")):
+        for mode, prefix in (
+            ("query", "serving"),
+            ("query-phrase", "serving_phrase"),
+            ("query-batch", "serving_batch"),
+        ):
             ss = by_mode.get(mode)
             if not ss:
                 continue

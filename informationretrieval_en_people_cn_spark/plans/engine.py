@@ -2250,7 +2250,9 @@ class SearchEngine:
             rel = rel.filter(F.col("doc_id") > after_doc_id)
         return rel.orderBy("doc_id").limit(page_size)
 
-    def search_batch(self, queries: list[str], k: int = 10) -> DataFrame:
+    def search_batch(
+        self, queries: list[str], k: int = 10, where=None
+    ) -> DataFrame:
         """Execute MANY ranked queries in one Spark job →
         (qid, doc_id, score), qid = position in ``queries``, top-k per
         query under (score desc, doc_id asc).
@@ -2265,6 +2267,10 @@ class SearchEngine:
         accumulation.  Per-query results are bit-identical to
         :meth:`score_terms_bucketed` (same term-sorted float64
         accumulation per query; tested).
+
+        ``where`` applies one metadata scope to every query in the
+        batch (per-bucket allowed-id arrays masked in the shared
+        kernel, exactly as in :meth:`score_terms_bucketed`).
 
         Shapes: pure-keyword ranked queries ride the shared kernel;
         ranked queries with phrase/prefix/reply leaves fall back to
@@ -2303,10 +2309,10 @@ class SearchEngine:
                 fallback.append((i, node, raw))
         outs = []
         if batched:
-            outs.append(self._score_batch_bucketed(batched, k))
+            outs.append(self._score_batch_bucketed(batched, k, where=where))
         for i, node, raw in fallback:
             outs.append(
-                self.ranked(node, raw, k).select(
+                self.ranked(node, raw, k, where=where).select(
                     F.lit(i).cast("int").alias("qid"), "doc_id", "score"
                 )
             )
@@ -2320,7 +2326,7 @@ class SearchEngine:
         return res.orderBy("qid", F.desc("score"), F.asc("doc_id"))
 
     def _score_batch_bucketed(
-        self, batched: list[tuple[int, list[str]]], k: int | None
+        self, batched: list[tuple[int, list[str]]], k: int | None, where=None
     ) -> DataFrame:
         """Shared bucket-local DAAT kernel for a batch of keyword
         queries: one frames shuffle for the union of terms; per bucket,
@@ -2346,14 +2352,33 @@ class SearchEngine:
             .groupBy("bucket")
             .agg(F.collect_list(F.struct("term", "postings")).alias("frames"))
             .join(self._bucket_doclens, "bucket")
-            .select("frames", "dl_ids", "dl_lens")
         )
+        if where is not None:
+            # same per-bucket allowed-id arrays as score_terms_bucketed
+            allowed = (
+                self.docs.filter(self._where_cond(where))
+                .select("doc_id")
+                .withColumn("bucket", self._bexpr)
+                .where(F.col("bucket").isNotNull())
+                .groupBy("bucket")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("allow_ids"))
+            )
+            joined = joined.join(allowed, "bucket").select(
+                "frames", "dl_ids", "dl_lens", "allow_ids"
+            )
+        else:
+            joined = joined.select("frames", "dl_ids", "dl_lens")
 
         def gen(batches):
             for pdf in batches:
                 out_q, out_d, out_s = [], [], []
-                for frames, dl_ids, dl_lens in zip(
-                    pdf["frames"], pdf["dl_ids"], pdf["dl_lens"]
+                allow_col = (
+                    pdf["allow_ids"]
+                    if "allow_ids" in pdf.columns
+                    else [None] * len(pdf)
+                )
+                for frames, dl_ids, dl_lens, allow in zip(
+                    pdf["frames"], pdf["dl_ids"], pdf["dl_lens"], allow_col
                 ):
                     ids = np.asarray(dl_ids, dtype=np.int64)
                     lens = np.asarray(dl_lens, dtype=np.float64)
@@ -2383,6 +2408,11 @@ class SearchEngine:
                             / (tf + k1 * (1 - b + b * lens[pos_c] / avgdl))
                         )
                         svec[fr["term"]] = (pos_c, s)
+                    allow_mask = (
+                        _sorted_member(ids, np.asarray(allow, dtype=np.int64))
+                        if allow is not None
+                        else None
+                    )
                     for qid, terms in qspec:
                         acc = np.zeros(len(ids))
                         touched = np.zeros(len(ids), dtype=bool)
@@ -2393,6 +2423,8 @@ class SearchEngine:
                             pos, s = hit
                             acc[pos] += s
                             touched[pos] = True
+                        if allow_mask is not None:
+                            touched &= allow_mask
                         bd, bs = ids[touched], acc[touched]
                         if k:
                             bd, bs = _local_topk(bd, bs, k)

@@ -682,3 +682,28 @@ def test_search_batch_matches_single_queries(spark, corpus, tmp_path):
 
     serv._doclens_cluster.unpersist()
     serv._bucket_doclens.unpersist()
+
+
+def test_search_batch_scoped(spark, corpus, tmp_path):
+    """where= composes with search_batch: every query in the batch is
+    scoped by the same metadata predicate, per query identical to the
+    single scoped search — through both the shared kernel and the
+    phrase fallback."""
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus, out, slices=2, salt=2)
+    serv = SearchEngine(
+        spark, out, cache_term_stats=True, fast_path=False, persist_doclens=True
+    )
+    where = "lang IN ('py', 'go')"
+    queries = ["merge window spark", "return compression", "merge 'value table'"]
+    got = {}
+    for r in serv.search_batch(queries, k=10, where=where).collect():
+        got.setdefault(r.qid, []).append((r.doc_id, r.score))
+    for i, q in enumerate(queries):
+        want = [
+            (r.doc_id, r.score)
+            for r in serv.search(q, 10, where=where).collect()
+        ]
+        assert got.get(i, []) == want, f"qid {i}: {q!r}"
+    serv._doclens_cluster.unpersist()
+    serv._bucket_doclens.unpersist()

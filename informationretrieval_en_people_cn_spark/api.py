@@ -885,6 +885,30 @@ def q_batch_topk(spark, sf_dir):
     return res.select("qid", "doc_id", F.round("score", 6).alias("score_r"))
 
 
+def q_boosted_topk(spark, sf_dir):
+    """Metadata score BOOSTING through the serving kernel (round 5):
+    boost=[(predicate, factor), ...] multiplies a matching doc's summed
+    BM25 score by the product of its predicates' factors (Lucene-style
+    composition) before top-k — recency/source/language boosting, the
+    standard serving-side ranking control.  The kernel ships per-bucket
+    (sorted boosted ids, factors) arrays and applies ONE multiply per
+    boosted doc after the canonical term-sorted sum; the oracle
+    recomputes unrounded BM25 × CASE factors in SQL, so a factor
+    applied before the sum (different float sequence) or a missed
+    compose would hash-mismatch.  plans/engine.py search(boost=...)."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(
+        spark, _unstemmed_index(spark, sf_dir), use_stemmer=False,
+        cache_term_stats=True, fast_path=False, persist_doclens=True,
+    )
+    res = eng.search(
+        "merge window spark", k=10,
+        boost=[("lang = 'zh'", 2.0), ("repo = 'src4'", 1.5)],
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score_r"))
+
+
 def q_completions(spark, sf_dir):
     """Autocomplete (round 5): top-10 dictionary completions of a
     prefix ranked by collection frequency — the cf-ranked read of the
@@ -992,6 +1016,7 @@ QUERIES = {
     "scoped_topk": q_scoped_topk,
     "scoped_topk_serving": q_scoped_topk_serving,
     "batch_topk": q_batch_topk,
+    "boosted_topk": q_boosted_topk,
     "completions": q_completions,
     "snippets": q_snippets,
     "facet_search": q_facet_search,
@@ -1667,6 +1692,24 @@ ORACLES["scoped_topk"] = f"""
     ORDER BY s.score_r DESC, s.doc_id LIMIT 10
 """
 ORACLES["scoped_topk_serving"] = ORACLES["scoped_topk"]
+
+# ---- boosted_topk oracle: unrounded BM25 sum × the product of CASE
+# factors, ordered by the boosted value — the Spark side multiplies
+# AFTER the canonical per-doc sum, and so does this
+_BM25_RAW = _BM25_SQL.replace("round(sum(s), 6) AS score_r", "sum(s) AS score_raw")
+ORACLES["boosted_topk"] = f"""
+    SELECT b.doc_id,
+           round(b.score_raw
+                 * (CASE WHEN d.lang = 'zh' THEN 2.0 ELSE 1.0 END)
+                 * (CASE WHEN d.source = 'src4' THEN 1.5 ELSE 1.0 END),
+                 6) AS score_r
+    FROM ({_BM25_RAW}) b JOIN documents d ON d.doc_id = b.doc_id
+    ORDER BY b.score_raw
+             * (CASE WHEN d.lang = 'zh' THEN 2.0 ELSE 1.0 END)
+             * (CASE WHEN d.source = 'src4' THEN 1.5 ELSE 1.0 END) DESC,
+             b.doc_id
+    LIMIT 10
+"""
 
 # ---- batch_topk oracle: UNION ALL of the three queries' per-query
 # BM25 top-10s (the batch kernel must be bit-identical per query)

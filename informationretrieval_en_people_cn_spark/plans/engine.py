@@ -1394,6 +1394,23 @@ class SearchEngine:
         so selectivity is paid at the source, not post-join."""
         return self.docs.filter(self._where_cond(where)).select("doc_id")
 
+    def _boost_factors(self, boost) -> DataFrame:
+        """(doc_id, factor) for docs matched by at least one boost
+        predicate; ``boost`` = list of (predicate, factor) pairs.  A
+        doc matching several predicates multiplies their factors (the
+        Lucene/Elasticsearch boost composition).  Docs matching none
+        are ABSENT — callers left-join and coalesce to 1.0, so the
+        boost side stays O(boosted docs), not O(corpus)."""
+        fac = F.lit(1.0)
+        cond = F.lit(False)
+        for pred, factor in boost:
+            c = self._where_cond(pred)
+            fac = fac * F.when(c, F.lit(float(factor))).otherwise(F.lit(1.0))
+            cond = cond | c
+        return self.docs.filter(cond).select(
+            "doc_id", fac.alias("factor")
+        )
+
     def _score_rows(
         self,
         rows: DataFrame,
@@ -1458,13 +1475,19 @@ class SearchEngine:
         )
 
     def score_terms(
-        self, terms: list[str], k: int | None = None, where=None
+        self, terms: list[str], k: int | None = None, where=None, boost=None
     ) -> DataFrame:
         """BM25 over the disjunction of ``terms`` → (doc_id, score[, ...]).
 
         ``where`` restricts results to docs passing a metadata
         predicate (see :meth:`_score_rows`); scores of surviving docs
-        are unchanged (global BM25 stats)."""
+        are unchanged (global BM25 stats).
+
+        ``boost`` (list of (predicate, factor)) multiplies each doc's
+        FINAL summed score by the product of its matching predicates'
+        factors — applied after the canonical term-sorted sum, so the
+        float64 sequence stays identical to the serving kernel's
+        (sum first, one multiply after)."""
         terms = sorted(set(terms))
         rows = self._index_rows(terms)
         # the index is range-partitioned by TERM, so a Zipf-head term's
@@ -1483,11 +1506,19 @@ class SearchEngine:
             rows = rows.repartition(n_parts, "term", "bucket")
         stats = self._term_df_stats(terms, rows)
         agg = self._score_rows(rows, stats, where=where)
+        if boost:
+            agg = (
+                agg.join(self._boost_factors(boost), "doc_id", "left")
+                .withColumn(
+                    "score", F.col("score") * F.coalesce("factor", F.lit(1.0))
+                )
+                .drop("factor")
+            )
         out = agg.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k else out
 
     def score_terms_bucketed(
-        self, terms: list[str], k: int | None = None, where=None
+        self, terms: list[str], k: int | None = None, where=None, boost=None
     ) -> DataFrame:
         """Bucket-local DAAT — the sharded-search serving plan.
 
@@ -1540,6 +1571,7 @@ class SearchEngine:
             .agg(F.collect_list(F.struct("term", "postings")).alias("frames"))
             .join(self._bucket_doclens, "bucket")
         )
+        cols = ["frames", "dl_ids", "dl_lens"]
         if where is not None:
             # metadata scope: per-bucket sorted arrays of allowed
             # doc_ids, built from a pushdown-filtered docs scan bucketed
@@ -1553,11 +1585,30 @@ class SearchEngine:
                 .groupBy("bucket")
                 .agg(F.sort_array(F.collect_list("doc_id")).alias("allow_ids"))
             )
-            joined = joined.join(allowed, "bucket").select(
-                "frames", "dl_ids", "dl_lens", "allow_ids"
+            joined = joined.join(allowed, "bucket")
+            cols.append("allow_ids")
+        if boost:
+            # per-bucket (sorted boosted ids, factors) — LEFT join:
+            # buckets with no boosted docs still serve, kernel skips
+            bfac = (
+                self._boost_factors(boost)
+                .withColumn("bucket", self._bexpr)
+                .where(F.col("bucket").isNotNull())
+                .groupBy("bucket")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "factor"))
+                    ).alias("bz")
+                )
+                .select(
+                    "bucket",
+                    F.col("bz.doc_id").alias("boost_ids"),
+                    F.col("bz.factor").alias("boost_f"),
+                )
             )
-        else:
-            joined = joined.select("frames", "dl_ids", "dl_lens")
+            joined = joined.join(bfac, "bucket", "left")
+            cols += ["boost_ids", "boost_f"]
+        joined = joined.select(*cols)
 
         def gen(batches):
             for pdf in batches:
@@ -1567,8 +1618,19 @@ class SearchEngine:
                     if "allow_ids" in pdf.columns
                     else [None] * len(pdf)
                 )
-                for frames, dl_ids, dl_lens, allow in zip(
-                    pdf["frames"], pdf["dl_ids"], pdf["dl_lens"], allow_col
+                bid_col = (
+                    pdf["boost_ids"]
+                    if "boost_ids" in pdf.columns
+                    else [None] * len(pdf)
+                )
+                bf_col = (
+                    pdf["boost_f"]
+                    if "boost_f" in pdf.columns
+                    else [None] * len(pdf)
+                )
+                for frames, dl_ids, dl_lens, allow, bids, bfs in zip(
+                    pdf["frames"], pdf["dl_ids"], pdf["dl_lens"],
+                    allow_col, bid_col, bf_col,
                 ):
                     ids = np.asarray(dl_ids, dtype=np.int64)
                     lens = np.asarray(dl_lens, dtype=np.float64)
@@ -1615,6 +1677,15 @@ class SearchEngine:
                             ids, np.asarray(allow, dtype=np.int64)
                         )
                     bd, bs = ids[touched], acc[touched]
+                    if bids is not None and len(bids):
+                        # boost: one multiply per boosted doc AFTER the
+                        # canonical sum — same float64 sequence as the
+                        # distributed plan's post-agg join-multiply
+                        ba = np.asarray(bids, dtype=np.int64)
+                        m = _sorted_member(bd, ba)
+                        if m.any():
+                            loc = np.searchsorted(ba, bd[m])
+                            bs[m] *= np.asarray(bfs, dtype=np.float64)[loc]
                     if k:  # exact local top-k: O(k), not O(touched),
                         bd, bs = _local_topk(bd, bs, k)  # rows cross Arrow
                     out_d.append(bd)
@@ -1844,7 +1915,12 @@ class SearchEngine:
         return sumdf >= self.blockmax_min_sumdf
 
     def ranked(
-        self, node: qt.RankedNode, raw_query: str, k: int = 10, where=None
+        self,
+        node: qt.RankedNode,
+        raw_query: str,
+        k: int = 10,
+        where=None,
+        boost=None,
     ) -> DataFrame:
         terms = self._query_terms(raw_query)
         serving = self._bucket_doclens is not None and self.term_stats is not None
@@ -1853,21 +1929,26 @@ class SearchEngine:
             # frames (see score_terms_bucketed) — strictly less shuffle
             # than both the decoded-join and block-max plans
             if serving:
-                return self.score_terms_bucketed(terms, k, where=where)
-            if where is None and self._want_blockmax(terms):
+                return self.score_terms_bucketed(
+                    terms, k, where=where, boost=boost
+                )
+            if where is None and boost is None and self._want_blockmax(terms):
                 # a metadata scope thins every block below its stored
                 # score bound — pruning stays SOUND but stops paying
                 # (bounds grow slack as selectivity rises), so scoped
-                # queries keep the exhaustive filtered-doclen plan
+                # queries keep the exhaustive filtered-doclen plan; a
+                # boost can RAISE a doc past a block's stored UB, which
+                # would make pruning UNSOUND — boosted queries always
+                # take the exhaustive plan
                 return self.score_terms_blockmax(terms, k)
-        elif serving and where is None:
+        elif serving and where is None and boost is None:
             # mixed-leaf serving: one frames-shuffle job scores AND
             # resolves phrase/prefix candidates bucket-locally
             try:
                 return self.ranked_bucketed(node, terms, k)
             except _ServingFallback:
                 pass  # reply_to leaf / over-budget phrase: distributed
-        scored = self.score_terms(terms, where=where)
+        scored = self.score_terms(terms, where=where, boost=boost)
         # candidates = union of leaf results (reference SearchEngine.py:274-276);
         # differs from plain disjunctive BM25 when leaves are phrases.
         # Left join keeps candidates none of whose terms survived (score
@@ -2150,7 +2231,7 @@ class SearchEngine:
             return None
 
     # ---- entry point -----------------------------------------------------
-    def search(self, query: str, k: int = 10, where=None) -> DataFrame:
+    def search(self, query: str, k: int = 10, where=None, boost=None) -> DataFrame:
         """Boolean queries → unranked doc_id set; else BM25 top-k
         (reference dispatch SearchEngine.py:251-292).  Routes through
         the driver-side fast path when its caches are loaded and the
@@ -2162,9 +2243,20 @@ class SearchEngine:
         facility the input table's (repo, path, lang) columns exist
         for.  BM25 stats stay global; scoped queries skip the driver
         fast path (its caches carry no metadata) and route to the
-        filtered distributed/serving plans."""
+        filtered distributed/serving plans.
+
+        ``boost`` (list of (predicate, factor) pairs) multiplies a
+        matching doc's summed BM25 score by the product of its
+        predicates' factors before top-k — recency/source/language
+        boosting, the standard serving-side ranking control.  Ranked
+        queries only (boolean shapes have no score to boost)."""
         node = qt.parse(query)
-        if where is None and self.fast_path and not (
+        if boost and isinstance(node, qt.OrNode):
+            raise qt.QueryError(
+                "boost applies to ranked queries; boolean shapes have "
+                "no score to boost"
+            )
+        if where is None and boost is None and self.fast_path and not (
             self.phrase_via_positions and _has_phrase(node)
         ):
             # the driver fast path verifies phrases by substring; under
@@ -2185,7 +2277,7 @@ class SearchEngine:
             if where is not None:
                 res = res.join(self._allowed_docs(where), "doc_id", "left_semi")
             return res.orderBy("doc_id")
-        return self.ranked(node, query, k, where=where)
+        return self.ranked(node, query, k, where=where, boost=boost)
 
     def search_page(
         self,

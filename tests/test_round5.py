@@ -707,3 +707,82 @@ def test_search_batch_scoped(spark, corpus, tmp_path):
         assert got.get(i, []) == want, f"qid {i}: {q!r}"
     serv._doclens_cluster.unpersist()
     serv._bucket_doclens.unpersist()
+
+
+def test_metadata_boost(spark, corpus, tmp_path):
+    """boost=[(predicate, factor), ...]: a matching doc's summed BM25
+    score is multiplied by the product of its predicates' factors
+    (Lucene-style composition) — equal to the manual recompute from
+    unboosted scores, identical through the distributed join-multiply
+    and the serving kernel's per-bucket factor arrays, composable with
+    where=, and rejected on boolean shapes."""
+    import informationretrieval_en_people_cn_spark.plans.querytree as qt
+
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus, out, slices=2, salt=2)
+    dist = SearchEngine(spark, out)
+    serv = SearchEngine(
+        spark, out, cache_term_stats=True, fast_path=False, persist_doclens=True
+    )
+    boost = [("lang = 'py'", 2.0), ("repo = 'org/repo1'", 1.5)]
+    fac = {
+        r.doc_id: (2.0 if r.lang == "py" else 1.0)
+        * (1.5 if r.repo == "org/repo1" else 1.0)
+        for r in dist.docs.select("doc_id", "lang", "repo").collect()
+    }
+    assert any(f == 3.0 for f in fac.values())  # both predicates compose
+
+    for q in ("merge window", "return compression posting"):
+        full = [
+            (r.doc_id, r.score)
+            for r in dist.score_terms(dist._query_terms(q)).collect()
+        ]
+        want = sorted(
+            ((d, s * fac.get(d, 1.0)) for d, s in full),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        got_d = [
+            (r.doc_id, r.score)
+            for r in dist.search(q, 10, boost=boost).collect()
+        ]
+        got_s = [
+            (r.doc_id, r.score)
+            for r in serv.search(q, 10, boost=boost).collect()
+        ]
+        assert got_d == want, q
+        assert got_s == want, q
+        # boost actually reorders vs unboosted on this corpus
+        un = [r.doc_id for r in dist.search(q, 10).collect()]
+        assert un != [d for d, _ in want], q
+
+    # where + boost compose: scope first, boost the survivors
+    where = "lang IN ('py', 'java', 'go')"
+    allowed = {
+        r.doc_id
+        for r in dist.docs.filter(F.expr(where)).select("doc_id").collect()
+    }
+    q = "merge window"
+    full = [
+        (r.doc_id, r.score)
+        for r in dist.score_terms(dist._query_terms(q)).collect()
+    ]
+    want = sorted(
+        (
+            (d, s * fac.get(d, 1.0))
+            for d, s in full
+            if d in allowed
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    for eng in (dist, serv):
+        got = [
+            (r.doc_id, r.score)
+            for r in eng.search(q, 10, where=where, boost=boost).collect()
+        ]
+        assert got == want, eng
+
+    with pytest.raises(qt.QueryError):
+        dist.search("merge AND window", boost=boost)
+
+    serv._doclens_cluster.unpersist()
+    serv._bucket_doclens.unpersist()

@@ -48,6 +48,63 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
+# ---- executor-local posting-frame decode cache (serving mode) ---------
+#
+# Spark reuses python worker processes across tasks
+# (spark.python.worker.reuse, default true), so a module-level LRU
+# survives between queries on the same executor.  A serving workload's
+# term distribution is Zipf — the head terms' frames decode on almost
+# every query; caching the decoded (doc_id, tf[, positions]) arrays
+# turns that repeat work into a dict hit, exactly the posting-list /
+# filter cache every production IR stack keeps (Lucene query cache, OS
+# page cache over postings).  Keyed by (index_dir, snapshot version,
+# term, bucket, want_positions): snapshots are immutable, a refresh
+# bumps the version so stale entries are never served (they age out of
+# the LRU).  Byte-budgeted per worker (IR_FRAME_CACHE_MB, default 256);
+# arrays are returned read-only.  Opt-in per engine (frame_cache=True)
+# so measurements stay honest by default.
+_FRAME_CACHE: dict = {}
+_FRAME_CACHE_BYTES = [0]
+_FRAME_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def _frame_cache_budget() -> int:
+    import os
+
+    return int(os.environ.get("IR_FRAME_CACHE_MB", "256")) << 20
+
+
+def _cached_decode(tag, term, bucket, blob: bytes, want_positions: bool = False):
+    """decode_frames through the worker-local LRU; ``tag=None``
+    bypasses.  The key is CONTENT-ADDRESSED — it includes the blob's
+    length and (per-process SipHash) hash — so even a hypothetical
+    second frame under the same (term, bucket), or a snapshot mixup,
+    can never serve wrong arrays: different bytes → different key."""
+    if tag is None:
+        return decode_frames(blob, want_positions=want_positions)
+    key = (tag, term, int(bucket), want_positions, len(blob), hash(blob))
+    hit = _FRAME_CACHE.pop(key, None)
+    if hit is not None:
+        _FRAME_CACHE[key] = hit  # move to MRU end (dicts keep order)
+        _FRAME_CACHE_STATS["hits"] += 1
+        return hit[0]
+    _FRAME_CACHE_STATS["misses"] += 1
+    out = decode_frames(blob, want_positions=want_positions)
+    nbytes = sum(a.nbytes for a in out if isinstance(a, np.ndarray))
+    for a in out:
+        if isinstance(a, np.ndarray):
+            a.setflags(write=False)  # shared across queries: immutable
+    budget = _frame_cache_budget()
+    while _FRAME_CACHE and _FRAME_CACHE_BYTES[0] + nbytes > budget:
+        oldest = next(iter(_FRAME_CACHE))  # insertion order = LRU end
+        _, old_bytes = _FRAME_CACHE.pop(oldest)
+        _FRAME_CACHE_BYTES[0] -= old_bytes
+    if nbytes <= budget:
+        _FRAME_CACHE[key] = (out, nbytes)
+        _FRAME_CACHE_BYTES[0] += nbytes
+    return out
+
+
 def decode_postings_df(index_rows: DataFrame) -> DataFrame:
     """(term, postings:binary) -> (term, doc_id, tf) rows, numpy decode."""
 
@@ -106,12 +163,21 @@ class _BucketFrames:
     keyword / boolean / DAAT plans on a positional index pay the byte
     scan, not the position decode."""
 
-    def __init__(self, frames, pos_terms: frozenset | None = None):
+    def __init__(
+        self,
+        frames,
+        pos_terms: frozenset | None = None,
+        cache_tag=None,
+        bucket: int = -1,
+    ):
         self.by_term: dict[str, list] = {}
         for fr in frames:
             term = fr["term"]
             want = pos_terms is None or term in pos_terms
-            d, t, p = decode_frames(bytes(fr["postings"]), want_positions=want)
+            d, t, p = _cached_decode(
+                cache_tag, term, bucket, bytes(fr["postings"]),
+                want_positions=want,
+            )
             d = d.astype(np.int64)
             tl = t.astype(np.int64)
             ends = np.cumsum(tl)
@@ -293,6 +359,7 @@ class SearchEngine:
         phrase_via_positions: bool = False,
         serving_phrase_collect_max: int = 200_000,
         at_version: int | None = None,
+        frame_cache: bool = False,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -331,6 +398,10 @@ class SearchEngine:
         self._content_cache_max_bytes = content_cache_max_bytes
         self._fast_path_req = fast_path
         self._persist_doclens = persist_doclens
+        # executor-local decoded-frame LRU (serving hot-term cache):
+        # keyed by snapshot version, so refresh+reload never serves
+        # stale postings; opt-in to keep default measurements honest
+        self.frame_cache = frame_cache
         # time travel: pin every query to a historical snapshot
         # (Iceberg VERSION AS OF).  A pinned engine never follows the
         # pointer — reload() is a no-op — and opening a GC'd version
@@ -918,13 +989,21 @@ class SearchEngine:
             if spec[0] == "pos_phrase"
             for t in list(spec[1]) + list(spec[2] or ())
         )
+        cache_tag = (
+            (self.index_dir, self.version) if self.frame_cache else None
+        )
 
         def gen(batches):
             for pdf in batches:
                 outs = []
                 for bucket, frames in zip(pdf["bucket"], pdf["frames"]):
                     res = _eval_bucket_tree(
-                        _BucketFrames(frames, pos_terms), tree, int(bucket)
+                        _BucketFrames(
+                            frames, pos_terms,
+                            cache_tag=cache_tag, bucket=int(bucket),
+                        ),
+                        tree,
+                        int(bucket),
                     )
                     if after is not None and res.size:
                         res = res[np.searchsorted(res, after, side="right"):]
@@ -1009,11 +1088,18 @@ class SearchEngine:
             .select("bucket", "frames")
         )
 
+        cache_tag = (
+            (self.index_dir, self.version) if self.frame_cache else None
+        )
+
         def gen(batches):
             for pdf in batches:
                 b_out, d_out = [], []
                 for bucket, frames in zip(pdf["bucket"], pdf["frames"]):
-                    bf = _BucketFrames(frames, frozenset())
+                    bf = _BucketFrames(
+                        frames, frozenset(),
+                        cache_tag=cache_tag, bucket=int(bucket),
+                    )
                     if len(bf.by_term) < nrare:
                         continue
                     inter = None
@@ -1571,7 +1657,7 @@ class SearchEngine:
             .agg(F.collect_list(F.struct("term", "postings")).alias("frames"))
             .join(self._bucket_doclens, "bucket")
         )
-        cols = ["frames", "dl_ids", "dl_lens"]
+        cols = ["bucket", "frames", "dl_ids", "dl_lens"]
         if where is not None:
             # metadata scope: per-bucket sorted arrays of allowed
             # doc_ids, built from a pushdown-filtered docs scan bucketed
@@ -1610,6 +1696,10 @@ class SearchEngine:
             cols += ["boost_ids", "boost_f"]
         joined = joined.select(*cols)
 
+        cache_tag = (
+            (self.index_dir, self.version) if self.frame_cache else None
+        )
+
         def gen(batches):
             for pdf in batches:
                 out_d, out_s = [], []
@@ -1628,9 +1718,9 @@ class SearchEngine:
                     if "boost_f" in pdf.columns
                     else [None] * len(pdf)
                 )
-                for frames, dl_ids, dl_lens, allow, bids, bfs in zip(
-                    pdf["frames"], pdf["dl_ids"], pdf["dl_lens"],
-                    allow_col, bid_col, bf_col,
+                for bkt, frames, dl_ids, dl_lens, allow, bids, bfs in zip(
+                    pdf["bucket"], pdf["frames"], pdf["dl_ids"],
+                    pdf["dl_lens"], allow_col, bid_col, bf_col,
                 ):
                     ids = np.asarray(dl_ids, dtype=np.int64)
                     lens = np.asarray(dl_lens, dtype=np.float64)
@@ -1640,8 +1730,9 @@ class SearchEngine:
                     # summation order of _score_rows (each doc gets at
                     # most one posting per term)
                     for fr in sorted(frames, key=lambda f: f["term"]):
-                        d, t, _ = decode_frames(
-                            bytes(fr["postings"]), want_positions=False
+                        d, t, _ = _cached_decode(
+                            cache_tag, fr["term"], bkt,
+                            bytes(fr["postings"]), want_positions=False,
                         )
                         pos = np.searchsorted(ids, d)
                         # validate the cache invariant instead of
@@ -1750,13 +1841,20 @@ class SearchEngine:
             .select("bucket", "frames", "dl_ids", "dl_lens")
         )
 
+        cache_tag = (
+            (self.index_dir, self.version) if self.frame_cache else None
+        )
+
         def gen(batches):
             for pdf in batches:
                 out_d, out_s = [], []
                 for bucket, frames, dl_ids, dl_lens in zip(
                     pdf["bucket"], pdf["frames"], pdf["dl_ids"], pdf["dl_lens"]
                 ):
-                    bf = _BucketFrames(frames, pos_terms)
+                    bf = _BucketFrames(
+                        frames, pos_terms,
+                        cache_tag=cache_tag, bucket=int(bucket),
+                    )
                     ids = np.asarray(dl_ids, dtype=np.int64)
                     lens = np.asarray(dl_lens, dtype=np.float64)
                     if len(ids) == 0:
@@ -2456,10 +2554,13 @@ class SearchEngine:
                 .agg(F.sort_array(F.collect_list("doc_id")).alias("allow_ids"))
             )
             joined = joined.join(allowed, "bucket").select(
-                "frames", "dl_ids", "dl_lens", "allow_ids"
+                "bucket", "frames", "dl_ids", "dl_lens", "allow_ids"
             )
         else:
-            joined = joined.select("frames", "dl_ids", "dl_lens")
+            joined = joined.select("bucket", "frames", "dl_ids", "dl_lens")
+        cache_tag = (
+            (self.index_dir, self.version) if self.frame_cache else None
+        )
 
         def gen(batches):
             for pdf in batches:
@@ -2469,15 +2570,17 @@ class SearchEngine:
                     if "allow_ids" in pdf.columns
                     else [None] * len(pdf)
                 )
-                for frames, dl_ids, dl_lens, allow in zip(
-                    pdf["frames"], pdf["dl_ids"], pdf["dl_lens"], allow_col
+                for bkt, frames, dl_ids, dl_lens, allow in zip(
+                    pdf["bucket"], pdf["frames"], pdf["dl_ids"],
+                    pdf["dl_lens"], allow_col,
                 ):
                     ids = np.asarray(dl_ids, dtype=np.int64)
                     lens = np.asarray(dl_lens, dtype=np.float64)
                     svec: dict[str, tuple[np.ndarray, np.ndarray]] = {}
                     for fr in frames:
-                        d, t, _ = decode_frames(
-                            bytes(fr["postings"]), want_positions=False
+                        d, t, _ = _cached_decode(
+                            cache_tag, fr["term"], bkt,
+                            bytes(fr["postings"]), want_positions=False,
                         )
                         pos = np.searchsorted(ids, d)
                         pos_c = (

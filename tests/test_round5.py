@@ -786,3 +786,114 @@ def test_metadata_boost(spark, corpus, tmp_path):
 
     serv._doclens_cluster.unpersist()
     serv._bucket_doclens.unpersist()
+
+
+def test_frame_cache_parity_and_lru(spark, corpus, tmp_path, monkeypatch):
+    """Executor-local decoded-frame cache (frame_cache=True): results
+    identical to the uncached engine on first AND repeated execution
+    (the repeat exercises the worker-side hit path), a refresh+reload
+    bumps the snapshot version in the key so stale postings are never
+    served, and the in-process LRU respects its byte budget with
+    oldest-first eviction."""
+    from informationretrieval_en_people_cn_spark.plans import engine as eng_mod
+    from informationretrieval_en_people_cn_spark.streaming.incremental import (
+        CORPUS_SCHEMA,
+        incremental_index,
+        refresh_index,
+    )
+
+    in_dir = str(tmp_path / "incoming")
+    out = str(tmp_path / "fcidx")
+    half1 = corpus.filter(F.col("doc_id") % 2 == 0)
+    half2 = corpus.filter(F.col("doc_id") % 2 == 1)
+    half1.write.mode("append").parquet(in_dir)
+    assert incremental_index(
+        spark.readStream.schema(CORPUS_SCHEMA).parquet(in_dir),
+        out, lo=0, span=1 << 62, buckets=8,
+    ).awaitTermination(120)
+    refresh_index(spark, out, corpus=half1)
+
+    plain = SearchEngine(
+        spark, out, cache_term_stats=True, fast_path=False, persist_doclens=True
+    )
+    cached = SearchEngine(
+        spark, out, cache_term_stats=True, fast_path=False,
+        persist_doclens=True, frame_cache=True,
+    )
+    qs = ["merge window", "return merge compression", "merge window spark"]
+    for q in qs:
+        want = [(r.doc_id, r.score) for r in plain.search(q, 10).collect()]
+        assert [
+            (r.doc_id, r.score) for r in cached.search(q, 10).collect()
+        ] == want, q        # cold (miss path)
+        assert [
+            (r.doc_id, r.score) for r in cached.search(q, 10).collect()
+        ] == want, q        # warm (hit path)
+    # batch kernel through the cache too
+    got = {}
+    for r in cached.search_batch(qs, k=10).collect():
+        got.setdefault(r.qid, []).append((r.doc_id, r.score))
+    for i, q in enumerate(qs):
+        assert got[i] == [
+            (r.doc_id, r.score) for r in plain.search(q, 10).collect()
+        ], q
+    # boolean / phrase / paged serving kernels through the cache too
+    for q in ("merge AND window", "merge NOT window", "'merge window'",
+              "merge window 'value table'"):
+        want = [
+            (r.doc_id, getattr(r, "score", None))
+            for r in plain.search(q, 10).collect()
+        ]
+        for _ in range(2):  # cold then warm
+            assert [
+                (r.doc_id, getattr(r, "score", None))
+                for r in cached.search(q, 10).collect()
+            ] == want, q
+    assert [
+        r.doc_id for r in cached.search_page("merge OR window", 25).collect()
+    ] == [r.doc_id for r in plain.search_page("merge OR window", 25).collect()]
+
+    # refresh invalidates by VERSION KEY: reload() then equality with a
+    # fresh uncached engine over the bigger corpus
+    half2.write.mode("append").parquet(in_dir)
+    assert incremental_index(
+        spark.readStream.schema(CORPUS_SCHEMA).parquet(in_dir),
+        out, lo=0, span=1 << 62, buckets=8,
+    ).awaitTermination(120)
+    refresh_index(spark, out, corpus=corpus)
+    assert cached.reload() is True
+    fresh = SearchEngine(spark, out)
+    for q in qs:
+        assert [
+            (r.doc_id, r.score) for r in cached.search(q, 10).collect()
+        ] == [(r.doc_id, r.score) for r in fresh.search(q, 10).collect()], q
+
+    # in-process LRU semantics: budget respected, oldest evicted first
+    monkeypatch.setenv("IR_FRAME_CACHE_MB", "0")  # 0 MB -> never stores
+    eng_mod._FRAME_CACHE.clear()
+    eng_mod._FRAME_CACHE_BYTES[0] = 0
+    import numpy as np
+    from informationretrieval_en_people_cn_spark.functions.codec import (
+        encode_frame,
+    )
+    blob = encode_frame(np.array([1, 5]), np.array([2, 1]))
+    d, t, _ = eng_mod._cached_decode(("idx", 1), "merge", 3, blob)
+    assert list(d) == [1, 5] and list(t) == [2, 1]
+    assert len(eng_mod._FRAME_CACHE) == 0          # over budget: not stored
+    monkeypatch.setenv("IR_FRAME_CACHE_MB", "256")
+    d2, _, _ = eng_mod._cached_decode(("idx", 1), "merge", 3, blob)
+    assert list(d2) == [1, 5] and len(eng_mod._FRAME_CACHE) == 1
+    assert not d2.flags.writeable                   # shared -> read-only
+    d3, _, _ = eng_mod._cached_decode(("idx", 1), "merge", 3, blob)
+    assert d3 is d2                                 # hit returns same arrays
+    assert eng_mod._FRAME_CACHE_STATS["hits"] >= 1
+    # content-addressed: same (term, bucket), different bytes -> new key
+    blob2 = encode_frame(np.array([2, 9]), np.array([1, 1]))
+    d4, _, _ = eng_mod._cached_decode(("idx", 1), "merge", 3, blob2)
+    assert list(d4) == [2, 9] and len(eng_mod._FRAME_CACHE) == 2
+    eng_mod._FRAME_CACHE.clear()
+    eng_mod._FRAME_CACHE_BYTES[0] = 0
+
+    for e in (plain, cached):
+        e._doclens_cluster.unpersist()
+        e._bucket_doclens.unpersist()

@@ -280,6 +280,9 @@ def query_one(cpus: int, phrase: bool = False, batch: bool = False) -> dict:
             os.environ.get("SCALING_DECODE_REPART_MIN", "2000000")
         ),
         phrase_via_positions=phrase,
+        # ablation knob: worker-local decoded-frame LRU (off by default
+        # so protocol verdicts stay comparable across rounds)
+        frame_cache=os.environ.get("SCALING_FRAME_CACHE") == "1",
     )
     from concurrent.futures import ThreadPoolExecutor
 

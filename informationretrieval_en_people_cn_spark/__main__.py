@@ -7,7 +7,8 @@ verb + queries-from-file loop).
 
     python -m informationretrieval_en_people_cn_spark build  --corpus DIR --out DIR [--resume]
     python -m informationretrieval_en_people_cn_spark search --index DIR "merge window" [-k 10] [--wand]
-    python -m informationretrieval_en_people_cn_spark queries --index DIR --file queries.txt
+        [--where "lang = 'py'"] [--boost "lang = 'py'=2.0"] [--at-version N] [--serving]
+    python -m informationretrieval_en_people_cn_spark queries --index DIR --file queries.txt [--batch]
 """
 
 from __future__ import annotations
@@ -40,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--file", required=True)
     q.add_argument("-k", type=int, default=10)
+    q.add_argument(
+        "--batch",
+        action="store_true",
+        help="execute the file's ranked queries as ONE search_batch job "
+        "(shared serving kernel; implies --serving)",
+    )
     for sp in (s, q):
         sp.add_argument(
             "--edges",
@@ -56,6 +63,29 @@ def main(argv: list[str] | None = None) -> int:
             action="store_true",
             help="distributed block-max pruning for ranked top-k "
             "(bucket-grid upper bounds; identical results)",
+        )
+        sp.add_argument(
+            "--serving",
+            action="store_true",
+            help="serving mode: cluster-cached per-bucket doclens + "
+            "cached term stats (bucket-local plans)",
+        )
+        sp.add_argument(
+            "--where",
+            help="metadata scope, a SQL predicate over the docs-table "
+            "columns (repo, path, commit, lang), e.g. \"lang = 'py'\"",
+        )
+        sp.add_argument(
+            "--boost",
+            action="append",
+            metavar="PRED=FACTOR",
+            help="score boost, repeatable: docs matching PRED multiply "
+            "their BM25 score by FACTOR (ranked queries only)",
+        )
+        sp.add_argument(
+            "--at-version",
+            type=int,
+            help="time travel: pin to a historical snapshot version",
         )
 
     args = p.parse_args(argv)
@@ -88,13 +118,27 @@ def main(argv: list[str] | None = None) -> int:
             from .plans.engine import SearchEngine
 
             edges = spark.read.parquet(args.edges) if args.edges else None
+            serving = args.serving or getattr(args, "batch", False)
+            boost = None
+            if args.boost:
+                boost = []
+                for spec in args.boost:
+                    pred, _, factor = spec.rpartition("=")
+                    if not pred:
+                        raise SystemExit(
+                            f"--boost expects PRED=FACTOR, got {spec!r}"
+                        )
+                    boost.append((pred, float(factor)))
             eng = SearchEngine(
                 spark,
                 args.index,
                 edges=edges,
-                cache_term_stats=args.fast,
+                cache_term_stats=args.fast or serving,
                 cache_doclens=args.fast,
+                fast_path=args.fast or None,
                 use_blockmax=args.blockmax,
+                persist_doclens=serving,
+                at_version=args.at_version,
             )
             queries = (
                 [args.query]
@@ -105,14 +149,34 @@ def main(argv: list[str] | None = None) -> int:
                     if l.strip()
                 ]
             )
+            if getattr(args, "batch", False):
+                rows = eng.search_batch(
+                    queries, k=args.k, where=args.where
+                ).collect()
+                by_q: dict[int, list] = {}
+                for r in rows:
+                    by_q.setdefault(r.qid, []).append(r)
+                for i, query in enumerate(queries):
+                    print(f"# {query}")
+                    for r in by_q.get(i, ()):
+                        print(f"{r.doc_id}\t{r.score:.6f}")
+                return 0
             for query in queries:
                 print(f"# {query}")
                 try:
                     if args.cmd == "search" and args.wand:
+                        if args.where or boost:
+                            raise SystemExit(
+                                "--wand is the ad-hoc driver path; "
+                                "--where/--boost need the engine plans"
+                            )
                         for doc_id, score in eng.wand_search(query, k=args.k):
                             print(f"{doc_id}\t{score:.6f}")
                     else:
-                        for r in eng.search(query, k=args.k).collect():
+                        res = eng.search(
+                            query, k=args.k, where=args.where, boost=boost
+                        )
+                        for r in res.collect():
                             if hasattr(r, "score"):
                                 print(f"{r.doc_id}\t{r.score:.6f}")
                             else:

@@ -2,6 +2,8 @@
 bucket grid, no O(buckets) CASE chain), binary-search prefix
 expansion, doclen-cache membership validation, engine reload()."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -897,3 +899,55 @@ def test_frame_cache_parity_and_lru(spark, corpus, tmp_path, monkeypatch):
     for e in (plain, cached):
         e._doclens_cluster.unpersist()
         e._bucket_doclens.unpersist()
+
+
+def test_cli_serving_flags(spark, corpus, tmp_path):
+    """The spark-submit CLI surface drives the round-5 features:
+    build, then `search --serving --where --boost` and
+    `queries --batch` through real subprocess invocations (the
+    north_rule's `spark-submit --py-files` shape, locally)."""
+    import subprocess
+    import sys
+
+    cdir = str(tmp_path / "corpus")
+    corpus.write.parquet(cdir)
+    out = str(tmp_path / "idx")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "informationretrieval_en_people_cn_spark", *argv],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    run("build", "--corpus", cdir, "--out", out, "--slices", "2", "--salt", "2")
+
+    boosted = run(
+        "search", "--index", out, "merge window", "--serving",
+        "--where", "lang IN ('py', 'go')", "--boost", "lang = 'py'=2.0",
+    )
+    got = [
+        (int(l.split("\t")[0]), float(l.split("\t")[1]))
+        for l in boosted.splitlines()
+        if "\t" in l
+    ]
+    eng = SearchEngine(spark, out)
+    want = [
+        (r.doc_id, round(r.score, 6))
+        for r in eng.search(
+            "merge window", 10,
+            where="lang IN ('py', 'go')", boost=[("lang = 'py'", 2.0)],
+        ).collect()
+    ]
+    assert [(d, round(s, 6)) for d, s in got] == want
+
+    qfile = tmp_path / "queries.txt"
+    qfile.write_text("merge window\nreturn compression\n")
+    batched = run("queries", "--index", out, "--file", str(qfile), "--batch")
+    assert "# merge window" in batched and "# return compression" in batched
+    sections = batched.split("# ")
+    mw = next(s for s in sections if s.startswith("merge window"))
+    ids = [int(l.split("\t")[0]) for l in mw.splitlines()[1:] if "\t" in l]
+    assert ids == [r.doc_id for r in eng.search("merge window", 10).collect()]

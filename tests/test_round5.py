@@ -951,3 +951,66 @@ def test_cli_serving_flags(spark, corpus, tmp_path):
     mw = next(s for s in sections if s.startswith("merge window"))
     ids = [int(l.split("\t")[0]) for l in mw.splitlines()[1:] if "\t" in l]
     assert ids == [r.doc_id for r in eng.search("merge window", 10).collect()]
+
+
+def test_randomized_cross_plan_parity(spark, corpus, tmp_path):
+    """Randomized safety net over the round-5 surface: 40 seeded random
+    (query shape, where-scope, boost) combinations must agree across
+    the distributed, serving, and fast-path engines — scoped/boosted
+    shapes route around the fast path and blockmax by construction, so
+    agreement here pins the whole dispatch matrix, not just the happy
+    paths the named tests cover."""
+    import random
+
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus, out, slices=2, salt=2)
+    dist = SearchEngine(spark, out)
+    serv = SearchEngine(
+        spark, out, cache_term_stats=True, fast_path=False, persist_doclens=True
+    )
+    fast = SearchEngine(
+        spark, out, cache_term_stats=True, cache_doclens=True, fast_path=True
+    )
+    rng = random.Random(20260817)
+    words = ["merge", "window", "spark", "return", "compression", "posting",
+             "buffer", "value", "table", "partition", "shuffle", "offset"]
+    wheres = [None, "lang = 'py'", "lang IN ('py', 'go', 'java')",
+              "repo = 'org/repo1' OR lang = 'md'"]
+    boosts = [None, [("lang = 'py'", 2.0)],
+              [("lang = 'c'", 3.0), ("repo = 'org/repo2'", 1.5)]]
+
+    def rand_query():
+        shape = rng.randrange(5)
+        pick = lambda: rng.choice(words)
+        if shape == 0:                      # ranked keywords
+            return " ".join(pick() for _ in range(rng.randint(1, 4))), True
+        if shape == 1:                      # AND chain
+            return " AND ".join(pick() for _ in range(rng.randint(2, 4))), False
+        if shape == 2:                      # NOT
+            return f"{pick()} NOT {pick()}", False
+        if shape == 3:                      # OR with a prefix leaf
+            return f"{pick()} OR {pick()[:3]}*", False
+        return f"{pick()} {pick()} '{pick()} {pick()}'", True  # mixed phrase
+
+    checked = 0
+    for _ in range(40):
+        q, ranked = rand_query()
+        where = rng.choice(wheres)
+        boost = rng.choice(boosts) if ranked else None
+        want = None
+        for eng in (dist, serv, fast):
+            try:
+                res = [
+                    (r.doc_id, round(getattr(r, "score", 0.0) or 0.0, 9))
+                    for r in eng.search(q, 10, where=where, boost=boost).collect()
+                ]
+            except Exception as e:
+                raise AssertionError(f"{q!r} where={where} boost={boost}: {e}")
+            if want is None:
+                want = res
+            else:
+                assert res == want, f"{q!r} where={where} boost={boost}"
+        checked += 1
+    assert checked == 40
+    serv._doclens_cluster.unpersist()
+    serv._bucket_doclens.unpersist()

@@ -909,6 +909,33 @@ def q_boosted_topk(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score_r"))
 
 
+def q_index_stats(spark, sf_dir):
+    """Index health metrics per doc-range bucket — the ops surface a
+    production index needs (skew visible as df_sum spread; a merge bug
+    visible as n_rows != n_terms, since the merged index holds exactly
+    one row per (term, bucket)).  The oracle INDEPENDENTLY recomputes
+    the bucket grid from the raw corpus: lo = min(doc_id),
+    span = max(max-min+1, 1), bucket = least(n-1, floor(n·(doc_id-lo)/
+    span)) in double math — the exact `_range_bucket` arithmetic the
+    build salts on (operators/build.py:314-319) — then aggregates
+    (terms, postings, cf) per bucket from the analyzer's tokens.  A
+    drifting grid, a lost posting, or a duplicated merge row all
+    hash-mismatch here."""
+    from .operators.build import IndexPaths
+
+    idx = spark.read.parquet(IndexPaths(_unstemmed_index(spark, sf_dir)).index)
+    return (
+        idx.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("df").alias("df_sum"),
+            F.sum("cf").alias("cf_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_completions(spark, sf_dir):
     """Autocomplete (round 5): top-10 dictionary completions of a
     prefix ranked by collection frequency — the cf-ranked read of the
@@ -1017,6 +1044,7 @@ QUERIES = {
     "scoped_topk_serving": q_scoped_topk_serving,
     "batch_topk": q_batch_topk,
     "boosted_topk": q_boosted_topk,
+    "index_stats": q_index_stats,
     "completions": q_completions,
     "snippets": q_snippets,
     "facet_search": q_facet_search,
@@ -1724,6 +1752,30 @@ ORACLES["batch_topk"] = " UNION ALL ".join(
     + ") ORDER BY score_r DESC, doc_id LIMIT 10)"
     for i, ts in enumerate(_BATCH_TERM_SETS)
 )
+
+# ---- index_stats oracle: recompute the doc-range bucket grid from
+# the raw corpus with the build's exact double arithmetic, then
+# aggregate per bucket.  The fixture builds with slices=2, salt=2 ->
+# 4 buckets.  n_rows uses count(DISTINCT term) deliberately: the
+# merged index holds ONE row per (term, bucket), so a duplicate row
+# from a merge bug mismatches the Spark side's raw count(*).
+ORACLES["index_stats"] = f"""
+    WITH {_SQL_TF},
+    g AS (SELECT min(doc_id) AS lo,
+                 greatest(max(doc_id) - min(doc_id) + 1, 1) AS span
+          FROM documents),
+    b AS (SELECT tf.term, tf.doc_id, tf.tf,
+                 LEAST(3, CAST(floor(4.0 * (CAST(tf.doc_id - g.lo AS DOUBLE)
+                                            / CAST(g.span AS DOUBLE)))
+                               AS INT)) AS bucket
+          FROM tf, g)
+    SELECT bucket,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+           CAST(count(*) AS BIGINT) AS df_sum,
+           CAST(sum(tf) AS BIGINT) AS cf_sum
+    FROM b GROUP BY bucket ORDER BY bucket
+"""
 
 # ---- timetravel_topk oracle: the v1 snapshot predates the second
 # batch, so BM25 over the BASE documents table alone is the ground

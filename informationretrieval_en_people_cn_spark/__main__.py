@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--wand", action="store_true", help="driver-side block-max WAND path")
 
+    sn = sub.add_parser("snapshots", help="list index snapshot history")
+    sn.add_argument("--index", required=True)
+
     q = sub.add_parser("queries", help="run a query file (one per line)")
     q.add_argument("--index", required=True)
     q.add_argument("--file", required=True)
@@ -89,6 +92,15 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     args = p.parse_args(argv)
+
+    if args.cmd == "snapshots":  # pure metadata read: no Spark session
+        import json as _json
+
+        from .operators.build import snapshots
+
+        for snap in snapshots(args.index):
+            print(_json.dumps(snap))
+        return 0
 
     from .session import get_spark
 

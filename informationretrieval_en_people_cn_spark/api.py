@@ -909,6 +909,22 @@ def q_boosted_topk(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score_r"))
 
 
+def q_proximity_rerank(spark, sf_dir):
+    """Two-stage retrieve-then-rerank (round 5): BM25 top-100 pool,
+    then a position-based proximity bonus weight/(1 + min token
+    distance between occurrences of two DISTINCT query terms), top-10
+    by the boosted score.  Stage 2 touches only the pool's position
+    lists (O(pool), never O(corpus)).  The oracle recomputes the pool,
+    the min cross-term distance (token positions = list indices — the
+    distance is base-invariant), and the bonus in SQL.
+    plans/engine.py proximity_rerank."""
+    from .plans.engine import SearchEngine
+
+    eng = SearchEngine(spark, _unstemmed_index(spark, sf_dir), use_stemmer=False)
+    res = eng.proximity_rerank("merge window", k=10, pool=100, weight=0.5)
+    return res.select("doc_id", F.round("score", 6).alias("score_r"))
+
+
 def q_index_stats(spark, sf_dir):
     """Index health metrics per doc-range bucket — the ops surface a
     production index needs (skew visible as df_sum spread; a merge bug
@@ -1045,6 +1061,7 @@ QUERIES = {
     "batch_topk": q_batch_topk,
     "boosted_topk": q_boosted_topk,
     "index_stats": q_index_stats,
+    "proximity_rerank": q_proximity_rerank,
     "completions": q_completions,
     "snippets": q_snippets,
     "facet_search": q_facet_search,
@@ -1752,6 +1769,37 @@ ORACLES["batch_topk"] = " UNION ALL ".join(
     + ") ORDER BY score_r DESC, doc_id LIMIT 10)"
     for i, ts in enumerate(_BATCH_TERM_SETS)
 )
+
+# ---- proximity_rerank oracle: BM25 top-100 pool (unrounded), min
+# cross-term token distance via the closest-pair self-join over the
+# analyzer's token positions (1-based list indices; distances are
+# base-invariant), bonus 0.5/(1+d), top-10 by the boosted score
+_BM25_MW_RAW = _BM25_SQL.replace(
+    "IN ('spark', 'merge', 'window')", "IN ('merge', 'window')"
+).replace("round(sum(s), 6) AS score_r", "sum(s) AS score_raw")
+ORACLES["proximity_rerank"] = f"""
+    WITH base AS (
+      SELECT * FROM ({_BM25_MW_RAW})
+      ORDER BY score_raw DESC, doc_id LIMIT 100
+    ),
+    tl AS (SELECT doc_id, {_SQL_TOKS} AS tl FROM documents),
+    pa AS (SELECT doc_id,
+                  unnest(list_filter(range(1, len(tl) + 1),
+                                     i -> tl[i] = 'merge')) AS p
+           FROM tl),
+    pb AS (SELECT doc_id,
+                  unnest(list_filter(range(1, len(tl) + 1),
+                                     i -> tl[i] = 'window')) AS p
+           FROM tl),
+    md AS (SELECT a.doc_id, min(abs(a.p - b.p)) AS mind
+           FROM pa a JOIN pb b USING (doc_id) GROUP BY 1)
+    SELECT b.doc_id,
+           round(b.score_raw + coalesce(0.5 / (1 + md.mind), 0.0), 6)
+             AS score_r
+    FROM base b LEFT JOIN md ON md.doc_id = b.doc_id
+    ORDER BY b.score_raw + coalesce(0.5 / (1 + md.mind), 0.0) DESC, b.doc_id
+    LIMIT 10
+"""
 
 # ---- index_stats oracle: recompute the doc-range bucket grid from
 # the raw corpus with the build's exact double arithmetic, then

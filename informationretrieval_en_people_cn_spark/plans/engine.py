@@ -2440,6 +2440,84 @@ class SearchEngine:
             rel = rel.filter(F.col("doc_id") > after_doc_id)
         return rel.orderBy("doc_id").limit(page_size)
 
+    def proximity_rerank(
+        self, query: str, k: int = 10, pool: int = 100, weight: float = 0.5
+    ) -> DataFrame:
+        """Two-stage retrieve-then-rerank — the standard serving
+        architecture for position-aware relevance at scale: stage 1
+        retrieves the BM25 top-``pool`` candidates (any physical
+        strategy), stage 2 fetches ONLY those candidates' position
+        lists for the query terms (pruned index scan + semi-join) and
+        adds a proximity bonus ``weight / (1 + d)`` where ``d`` is the
+        minimum token distance between occurrences of two DISTINCT
+        query terms in the doc.  Docs containing fewer than two
+        distinct query terms keep their BM25 score unchanged.  The
+        expensive positional work is O(pool), never O(corpus) — at
+        10^12 docs the rerank cost is fixed by the pool knob.
+
+        The per-doc minimum cross-term distance is exact: in the
+        merged position-sorted sequence, the closest pair of
+        different-term occurrences is always adjacent (any element
+        strictly between a closest cross pair would itself form a
+        closer cross pair with one endpoint), so one sort + one
+        adjacent-label scan suffices.
+
+        Requires ``store_positions=True`` at build; ranked keyword
+        queries only."""
+        import pandas as pd
+
+        node = qt.parse(query)
+        if not isinstance(node, qt.RankedNode) or any(
+            c.kind != "keyword" for c in node.children
+        ):
+            raise qt.QueryError(
+                "proximity_rerank reranks ranked keyword queries"
+            )
+        terms = sorted(set(self._query_terms(query)))
+        base = self.score_terms(terms, k=pool)
+        posdf = self._decode_positional(self._index_rows(terms)).join(
+            base.select("doc_id"), "doc_id", "left_semi"
+        )
+
+        def mind(pdf: pd.DataFrame) -> pd.DataFrame:
+            out_d, out_m = [], []
+            for doc, g in pdf.groupby("doc_id"):
+                if g["term"].nunique() < 2:
+                    continue
+                arrs = [np.asarray(p, dtype=np.int64) for p in g["positions"]]
+                codes = pd.factorize(g["term"])[0]  # label = TERM, not row
+                labels = np.concatenate(
+                    [
+                        np.full(len(a), codes[i], dtype=np.int64)
+                        for i, a in enumerate(arrs)
+                    ]
+                )
+                allp = np.concatenate(arrs)
+                order = np.argsort(allp, kind="stable")
+                sp, sl = allp[order], labels[order]
+                gaps = (sp[1:] - sp[:-1])[sl[1:] != sl[:-1]]
+                if gaps.size:
+                    out_d.append(int(doc))
+                    out_m.append(int(gaps.min()))
+            return pd.DataFrame({"doc_id": out_d, "mind": out_m})
+
+        md = posdf.groupBy("doc_id").applyInPandas(
+            mind, "doc_id long, mind long"
+        )
+        out = (
+            base.join(md, "doc_id", "left")
+            .withColumn(
+                "score",
+                F.col("score")
+                + F.when(
+                    F.col("mind").isNotNull(),
+                    F.lit(float(weight)) / (F.lit(1.0) + F.col("mind")),
+                ).otherwise(F.lit(0.0)),
+            )
+            .drop("mind")
+        )
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_batch(
         self, queries: list[str], k: int = 10, where=None
     ) -> DataFrame:

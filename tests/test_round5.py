@@ -1014,3 +1014,70 @@ def test_randomized_cross_plan_parity(spark, corpus, tmp_path):
     assert checked == 40
     serv._doclens_cluster.unpersist()
     serv._bucket_doclens.unpersist()
+
+
+def test_proximity_rerank(spark, corpus, tmp_path):
+    """Retrieve-then-rerank: top-k equals the brute-force recompute
+    (BM25 pool + weight/(1 + min cross-term token distance) bonus from
+    the raw token sequences); single-term-present docs keep their BM25
+    score; non-keyword shapes are rejected."""
+    import informationretrieval_en_people_cn_spark.plans.querytree as qt
+    from informationretrieval_en_people_cn_spark.functions.analyze import (
+        analyze_text,
+    )
+
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus, out, slices=2, salt=2, use_stemmer=False)
+    eng = SearchEngine(spark, out, use_stemmer=False)
+    q, pool, w = "merge buffer", 50, 0.5
+    terms = eng._query_terms(q)
+
+    base = [
+        (r.doc_id, r.score) for r in eng.score_terms(terms, k=pool).collect()
+    ]
+    toks = {
+        r.doc_id: analyze_text(r.content, use_stemmer=False)
+        for r in eng.docs.select("doc_id", "content").collect()
+    }
+
+    def brute_bonus(doc):
+        tl = toks[doc]
+        pos = {t: [i for i, x in enumerate(tl) if x == t] for t in terms}
+        best = None
+        for i, a in enumerate(terms):
+            for b in terms[i + 1:]:
+                for pa in pos[a]:
+                    for pb in pos[b]:
+                        d = abs(pa - pb)
+                        best = d if best is None or d < best else best
+        return 0.0 if best is None else w / (1 + best)
+
+    want = sorted(
+        ((d, s + brute_bonus(d)) for d, s in base),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = [
+        (r.doc_id, r.score)
+        for r in eng.proximity_rerank(q, k=10, pool=pool, weight=w).collect()
+    ]
+    assert [(d, round(s, 9)) for d, s in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+    # the bonus was actually applied (nonzero for some top doc; the
+    # sf0.01 oracle demonstrates a material REORDER — this fixture's
+    # top docs all carry near-equal bonuses)
+    bm_all = dict(base)
+    assert any(s != bm_all[d] for d, s in got if d in bm_all)
+    # docs holding only one query term keep their BM25 score exactly
+    singles = [d for d, _ in base if len({t for t in terms if t in toks[d]}) < 2]
+    if singles:
+        gm = dict(got)
+        bm = dict(base)
+        for d in singles:
+            if d in gm:
+                assert gm[d] == bm[d]
+
+    with pytest.raises(qt.QueryError):
+        eng.proximity_rerank("merge AND window")
+    with pytest.raises(qt.QueryError):
+        eng.proximity_rerank("merge 'value table'")

@@ -99,22 +99,6 @@ def q_term_stats(spark, sf_dir):
         "positions", F.array().cast("array<int>")
     ).withColumn("tf", F.col("tf").cast("int")).select(POSTING_ROW_SCHEMA.names)
 
-    enc_schema = T.StructType(
-        [
-            T.StructField("term", T.StringType(), False),
-            T.StructField("frame", T.BinaryType(), False),
-        ]
-    )
-
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        frame = encode_frame(
-            pdf["doc_id"].to_numpy(np.uint64), pdf["tf"].to_numpy(np.uint64)
-        )
-        return pd.DataFrame({"term": [pdf["term"].iloc[0]], "frame": [frame]})
-
-    encoded = tf.groupBy("term").applyInPandas(enc, enc_schema)
-
     dec_schema = T.StructType(
         [
             T.StructField("term", T.StringType(), False),
@@ -123,17 +107,36 @@ def q_term_stats(spark, sf_dir):
         ]
     )
 
-    def dec(batches):
+    # One exchange hash-partitioned by term, then ONE Python crossing
+    # per task: the old shape (groupBy(term).applyInPandas(encode) →
+    # mapInPandas(decode)) paid per-micro-group pandas overhead for
+    # thousands of 1-row groups plus a second JVM↔Python boundary
+    # (optimization guide §4.1).  Each task buffers its partition's
+    # rows per term (a term is wholly in one partition after the
+    # repartition), then encodes → decodes every term's frame through
+    # the varbyte codec — the round-trip this oracle proves — and emits
+    # (term, df, cf).
+    def encdec(batches):
+        bufs: dict[str, list[pd.DataFrame]] = {}
         for pdf in batches:
-            terms, dfs, cfs = [], [], []
-            for term, frame in zip(pdf["term"], pdf["frame"]):
-                d, t, _ = decode_frames(frame, want_positions=False)
-                terms.append(term)
-                dfs.append(len(d))
-                cfs.append(int(t.sum()))
-            yield pd.DataFrame({"term": terms, "df": dfs, "cf": cfs})
+            for term, g in pdf.groupby("term", sort=False):
+                bufs.setdefault(term, []).append(g[["doc_id", "tf"]])
+        if not bufs:
+            return
+        terms, dfs, cfs = [], [], []
+        for term, parts in bufs.items():
+            g = pd.concat(parts) if len(parts) > 1 else parts[0]
+            g = g.sort_values("doc_id")
+            frame = encode_frame(
+                g["doc_id"].to_numpy(np.uint64), g["tf"].to_numpy(np.uint64)
+            )
+            d, t, _ = decode_frames(frame, want_positions=False)
+            terms.append(term)
+            dfs.append(len(d))
+            cfs.append(int(t.sum()))
+        yield pd.DataFrame({"term": terms, "df": dfs, "cf": cfs})
 
-    return encoded.mapInPandas(dec, dec_schema)
+    return tf.repartition("term").mapInPandas(encdec, dec_schema)
 
 
 def q_bm25_scores(spark, sf_dir):

@@ -112,17 +112,31 @@ def analyze_text(text: str, *, use_stemmer: bool = True) -> list[str]:
     return out
 
 
+# Worker-process-level raw-token → term-list memo (one dict per
+# stemmer mode).  Module globals survive across tasks in a reused
+# Python worker (spark.python.worker.reuse, the default), so the
+# Zipf-head vocabulary is analyzed once per worker, not once per task
+# or batch (optimization guide §4.5).  The mapping is a pure function
+# of (raw token, use_stemmer) — caching it is semantics-free.  Bounded:
+# cleared when it outgrows _TERMS_CACHE_MAX entries.
+_TERMS_CACHE: dict[bool, dict[str, list[str]]] = {}
+_TERMS_CACHE_MAX = 1_000_000
+
+
 def analyze_batch(texts, *, use_stemmer: bool = True):
     """Analyze a pandas Series of documents -> Series of term lists.
 
     The whole per-token pipeline (ident-split → lowercase → stem →
-    length filter) is memoized per distinct RAW token across the batch
-    — Zipf-distributed text repeats tokens heavily, so each batch does
-    the expensive work once per vocabulary word, not once per
-    occurrence (the batch-wide generalization of the reference's
-    ``lru_cache`` stemmer memo, ``IndexCreator.py:38``).
+    length filter) is memoized per distinct RAW token across batches
+    AND tasks (worker-level ``_TERMS_CACHE``) — Zipf-distributed text
+    repeats tokens heavily, so each worker does the expensive work once
+    per vocabulary word, not once per occurrence (the worker-wide
+    generalization of the reference's ``lru_cache`` stemmer memo,
+    ``IndexCreator.py:38``).
     """
-    cache: dict[str, list[str]] = {}
+    cache = _TERMS_CACHE.setdefault(use_stemmer, {})
+    if len(cache) > _TERMS_CACHE_MAX:
+        cache.clear()
     findall = _RAW_TOKEN_RE.findall
 
     def terms_of(raw: str) -> list[str]:

@@ -57,6 +57,7 @@ from pyspark.sql import types as T
 from .. import checkpoint as ckpt
 from ..functions.analyze import analyze_batch
 from ..functions.codec import decode_frames, encode_frame
+from ..session import local_rows_df
 
 POSTING_ROW_SCHEMA = T.StructType(
     [
@@ -545,8 +546,16 @@ def build_index(
         if not sorted_input:
             # 4 task waves per core: a single wave is straggler-bound
             # (one slow task = the whole stage), and range partitioning
-            # keeps each task on ~1 salt bucket (frames stay ~|vocab|)
-            nparts = max(spark.sparkContext.defaultParallelism * 4, buckets)
+            # keeps each task on ~1 salt bucket (frames stay ~|vocab|).
+            # Scale-adaptive floor (guide §2): n_docs is already known
+            # from the bounds pass, so small corpora don't get split
+            # into hundreds of sub-Arrow-batch tasks whose scheduling
+            # overhead dominates — at least ~one full Arrow batch
+            # (1024 docs) per task, never fewer tasks than cores or
+            # salt buckets, never more than 4 waves per core.
+            waves_cap = max(spark.sparkContext.defaultParallelism * 4, buckets)
+            floor = max(spark.sparkContext.defaultParallelism, buckets)
+            nparts = min(waves_cap, max(floor, int(n_docs // 1024)))
             part = part.repartitionByRange(nparts, "doc_id")
         runs = partition_runs(
             part,
@@ -679,7 +688,8 @@ def build_index(
         # _range_bucket float math partition_runs used) instead of
         # reconstructing ranges from index metadata.
         dl_tot = dl.agg(F.sum("doclen").alias("s")).collect()[0].s or 0
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(n_docs, int(dl_tot), float(dl_tot) / n_docs,
               int(lo), int(span), int(buckets))],
             STATS_SCHEMA,

@@ -73,6 +73,66 @@ def shingles_expr(text_col: str | Column, n: int = 3) -> Column:
     )
 
 
+def _shingle_rows(
+    df: DataFrame, *, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc, sz, shingle) rows — ONE Arrow-batched Python pass.
+
+    Semantically identical to ``explode(shingles_expr(text, n))`` with
+    the doc's distinct-shingle count attached, but computed in one
+    C-regex pass per doc.  The Catalyst formulation hits an optimizer
+    trap: a ``size(shs)`` sibling column next to ``explode(shs)``
+    collapses so that the (interpreted, non-codegen) higher-order
+    shingle transform re-evaluates per OUTPUT row — measured 7.5 s vs
+    0.6 s for the explode alone at sf0.1 (optimization guide §1.1:
+    measure, then §4.2: hand the batch to native code).
+    """
+    import re as _re
+
+    schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType(), False),
+            T.StructField("sz", T.IntegerType(), False),
+            T.StructField("shingle", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        tok = _re.compile(r"[a-z0-9_]+")  # == analyze.TOKEN_PATTERN
+        for pdf in batches:
+            doc_out: list[int] = []
+            sz_out: list[int] = []
+            sh_out: list[str] = []
+            for doc, text in zip(pdf["_doc"], pdf["_txt"]):
+                toks = [
+                    t
+                    for t in tok.findall((text or "").lower())
+                    if 2 <= len(t) <= 128
+                ]
+                if len(toks) < n:
+                    continue
+                # dict keys: distinct, first-occurrence order (matches
+                # array_distinct over the sliding window)
+                grams = dict.fromkeys(
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+                m = len(grams)
+                doc_out.extend([doc] * m)
+                sz_out.extend([m] * m)
+                sh_out.extend(grams)
+            if doc_out:
+                yield pd.DataFrame(
+                    {"doc": doc_out, "sz": sz_out, "shingle": sh_out}
+                )
+
+    return df.select(
+        F.col(id_col).alias("_doc"), F.col(text_col).alias("_txt")
+    ).mapInPandas(gen, schema)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -93,32 +153,83 @@ def ngram_jaccard_pairs(
     score stays exact for every surviving pair; pairs that *only* share
     stop-shingles are missed (by design — at web scale those are
     boilerplate).  Set None for fully exact (test scales).
+
+    Plan shapes (both measured at sf0.1, optimization guide §1.1 —
+    variants raced, the winner per config kept):
+
+    * **Capped** (the production path): ONE tokenize pass; |A| rides
+      along each exploded row (``F.size`` of the array — no per-doc
+      groupBy shuffle); ``groupBy(shingle)`` collects the doc list,
+      whose length IS the shingle's df, so the stop-shingle cap is a
+      free filter on the grouped row (the old plan's separate count +
+      broadcast anti-join subtree is gone); C(df,2) ordered pairs are
+      generated per group with vectorized numpy (``np.triu_indices``)
+      and stream into a map-side-combined count.  Group size is
+      bounded by the cap, so per-group pair generation cannot skew.
+      Measured 4.9 → 3.1 s (guide §2.3/§2.4/§4.2).
+    * **Exact** (oracle/test config, no cap): the shingle self-join —
+      kept, because a Zipf-head shingle's C(df,2) pair block is
+      quadratic and the join lets AQE's skew-split spread exactly that
+      block across tasks (guide §2.5), which a per-group generator
+      cannot (measured 22-26 s grouped vs 9.2 s joined).  Still one
+      tokenize pass fewer than before: |A| rides the exploded rows, so
+      the old per-doc sizes aggregation and the two final sizes joins
+      are gone.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles_expr(F.col(text_col), n)).alias("shingle")
-    )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    cand_sh = sh
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("sdf"))
-            .filter(F.col("sdf") > max_shingle_df)
-            .select("shingle")
+    sh = _shingle_rows(df, text_col=text_col, id_col=id_col, n=n)
+
+    if max_shingle_df is None:
+        a = sh.select(
+            F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle"
         )
-        cand_sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a = cand_sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = cand_sh.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        b = sh.select(
+            F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle"
+        )
+        pairs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    else:
+        grouped = (
+            sh.groupBy("shingle")
+            .agg(F.array_sort(F.collect_list(F.struct("doc", "sz"))).alias("ds"))
+            .filter(
+                (F.size("ds") >= 2) & (F.size("ds") <= max_shingle_df)
+            )
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                outs = []
+                for ds in pdf["ds"]:
+                    m = len(ds)
+                    docs_ = np.fromiter(
+                        (e["doc"] for e in ds), dtype=np.int64, count=m
+                    )
+                    szs = np.fromiter(
+                        (e["sz"] for e in ds), dtype=np.int64, count=m
+                    )
+                    ia, ib = np.triu_indices(m, k=1)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_a": docs_[ia], "sz_a": szs[ia],
+                                "doc_b": docs_[ib], "sz_b": szs[ib],
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        pairs = grouped.select("ds").mapInPandas(
+            gen, "doc_a long, sz_a long, doc_b long, sz_b long"
+        )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("inter"),
+        F.first("sz_a").alias("sz_a"),
+        F.first("sz_b").alias("sz_b"),
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
@@ -132,6 +243,36 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _mulmod_p61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """EXACT ``outer(a, x) % (2^61 - 1)`` for uint64 inputs < 2^61.
+
+    Replaces Python-object bignum arithmetic (the old md5-exact path)
+    with pure vectorized uint64: 32-bit split of the 122-bit product,
+    folded with 2^61 ≡ 1 (mod p).  Bit-identical to ``(int(a) * int(x))
+    % p`` — property-tested against Python ints.
+    """
+    p = _MERSENNE
+    a = a[:, None]
+    x = x[None, :]
+    mask32 = np.uint64(0xFFFFFFFF)
+    ah, al = a >> np.uint64(32), a & mask32
+    xh, xl = x >> np.uint64(32), x & mask32
+    hi = ah * xh                      # < 2^58   (term of 2^64)
+    mid = ah * xl + al * xh           # < 2^62   (term of 2^32)
+    lo = al * xl                      # < 2^64, exact in uint64
+    # 2^64 ≡ 8, mid·2^32 = (mid>>29)·2^61 + (mid&(2^29-1))·2^32
+    acc = (
+        (hi << np.uint64(3))
+        + (mid >> np.uint64(29))
+        + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32))
+        + (lo >> np.uint64(61))
+        + (lo & p)
+    )  # < 3·2^61 — no uint64 overflow
+    acc = (acc >> np.uint64(61)) + (acc & p)
+    acc = (acc >> np.uint64(61)) + (acc & p)
+    return np.where(acc >= p, acc - p, acc)
 
 
 def _stable_u64(strings) -> np.ndarray:
@@ -203,43 +344,47 @@ def minhash_signatures(
 
         import pandas as pd
 
+        sentinel = np.full(len(a), np.int64((1 << 61) - 1))
         for pdf in batches:
-            # batch-level unique-shingle base hashing
+            # Per-batch unique-shingle SIGNATURE matrix (guide §4.2):
+            # the k permutation values are computed once per distinct
+            # shingle, then each doc is a column gather + int64 min —
+            # per-occurrence work is vectorized numpy, never bignum.
             uniq: dict[str, int] = {}
             for lst in pdf["shingles"]:
                 for s in lst:
-                    uniq.setdefault(s, 0)
-            keys = list(uniq.keys())
-            if exact:
-                lut = {
-                    s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-                    for s in keys
-                }
-                a_obj = a.astype(object)
-                b_obj = b.astype(object)
-                p = int(_MERSENNE)
-            else:
-                base = (
-                    _stable_u64(keys) % _MERSENNE if keys else np.empty(0, np.uint64)
-                )
-                lut = dict(zip(keys, base))
+                    if s not in uniq:
+                        uniq[s] = len(uniq)
+            keys = list(uniq)
+            if keys:
+                if exact:
+                    # oracle family: base = md5 60-bit, EXACT mod-p math
+                    # (vectorized Mersenne mulmod ≡ Python-int formula)
+                    base = np.fromiter(
+                        (
+                            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                            for s in keys
+                        ),
+                        dtype=np.uint64,
+                        count=len(keys),
+                    )
+                    m = _mulmod_p61(a, base) + b[:, None]  # < 2^62: no wrap
+                    m = np.where(m >= _MERSENNE, m - _MERSENNE, m)
+                else:
+                    # fast family: deliberate uint64 wrap before the
+                    # Mersenne reduction (hash-quality no-op)
+                    base = _stable_u64(keys) % _MERSENNE
+                    m = (np.multiply.outer(a, base) + b[:, None]) % _MERSENNE
+                mat = m.astype(np.int64)
             sigs = []
-            sentinel = np.full(len(a), np.int64((1 << 61) - 1))
             for lst in pdf["shingles"]:
                 if len(lst) == 0:
                     sigs.append(sentinel.tolist())
                     continue
-                if exact:
-                    xs = np.array([lut[s] for s in lst], dtype=object)
-                    m = (np.multiply.outer(a_obj, xs) + b_obj[:, None]) % p
-                    sigs.append([int(v) for v in m.min(axis=1)])
-                else:
-                    xs = np.fromiter(
-                        (lut[s] for s in lst), dtype=np.uint64, count=len(lst)
-                    )
-                    # (k, n_shingles) matrix mod p, min along shingles
-                    m = (np.multiply.outer(a, xs) + b[:, None]) % _MERSENNE
-                    sigs.append(m.min(axis=1).astype(np.int64).tolist())
+                idx = np.fromiter(
+                    (uniq[s] for s in lst), dtype=np.int64, count=len(lst)
+                )
+                sigs.append(mat[:, idx].min(axis=1).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
 
     return sh_df.mapInPandas(gen, out_schema)

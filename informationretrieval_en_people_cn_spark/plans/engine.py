@@ -48,6 +48,11 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
+# Tiny driver-side relations go through one Arrow batch instead of a
+# defaultParallelism-slice parallelize job — see session.local_rows_df.
+from ..session import local_rows_df as _local_df  # noqa: E402
+
+
 # ---- executor-local posting-frame decode cache (serving mode) ---------
 #
 # Spark reuses python worker processes across tasks
@@ -95,13 +100,16 @@ def _cached_decode(tag, term, bucket, blob: bytes, want_positions: bool = False)
         if isinstance(a, np.ndarray):
             a.setflags(write=False)  # shared across queries: immutable
     budget = _frame_cache_budget()
+    if nbytes > budget:
+        # an entry that can never fit must not flush the hot LRU on its
+        # way to being rejected (ADVICE r5)
+        return out
     while _FRAME_CACHE and _FRAME_CACHE_BYTES[0] + nbytes > budget:
         oldest = next(iter(_FRAME_CACHE))  # insertion order = LRU end
         _, old_bytes = _FRAME_CACHE.pop(oldest)
         _FRAME_CACHE_BYTES[0] -= old_bytes
-    if nbytes <= budget:
-        _FRAME_CACHE[key] = (out, nbytes)
-        _FRAME_CACHE_BYTES[0] += nbytes
+    _FRAME_CACHE[key] = (out, nbytes)
+    _FRAME_CACHE_BYTES[0] += nbytes
     return out
 
 
@@ -897,8 +905,23 @@ class SearchEngine:
 
     # ---- boolean algebra (B1-B3, reference SearchEngine.py:254-270) ----
     def boolean_docids(self, node: qt.OrNode) -> DataFrame:
-        or_result = None
+        # Split the OR's AND-groups: groups whose every leaf is a plain
+        # term set (keyword, or prefix expandable through the cached
+        # vocabulary) evaluate in ONE scan+decode+aggregation
+        # (_boolean_simple_docids); the rest (phrase / reply_to /
+        # uncached prefix) keep the per-leaf semi/anti-join plan.
+        simple_groups, other_groups = [], []
         for and_node in node.children:
+            compiled = self._compile_simple_group(and_node)
+            if compiled is not None:
+                simple_groups.append(compiled)
+            else:
+                other_groups.append(and_node)
+        parts = []
+        if simple_groups:
+            parts.append(self._boolean_simple_docids(simple_groups))
+        or_result = None
+        for and_node in other_groups:
             pos = [c for c in and_node.children if not c.negated]
             neg = [c for c in and_node.children if c.negated]
             acc = self._leaf_docids(pos[0])
@@ -907,7 +930,80 @@ class SearchEngine:
             for c in neg:
                 acc = acc.join(self._leaf_docids(c), "doc_id", "left_anti")
             or_result = acc if or_result is None else or_result.unionByName(acc)
+        if or_result is None:
+            # all groups simple: the aggregation output is already one
+            # row per doc_id — no extra distinct exchange
+            return parts[0]
+        if parts:
+            or_result = or_result.unionByName(parts[0])
         return or_result.distinct()
+
+    def _compile_simple_group(self, and_node) -> list[tuple[list[str], bool]] | None:
+        """AND-group → ``[(terms, negated), ...]`` when every leaf is a
+        plain term set; None when any leaf needs its own relation
+        (phrase verify, reply_to) or prefix expansion is unavailable
+        (no cached vocabulary)."""
+        out = []
+        for c in and_node.children:
+            if c.kind == "keyword":
+                out.append((self._q(c.value), c.negated))
+            elif c.kind == "prefix" and self._term_arr is not None:
+                out.append((self.expand_prefix(c.value), c.negated))
+            else:
+                return None
+        return out
+
+    def _boolean_simple_docids(self, groups) -> DataFrame:
+        """One-pass OR-of-ANDs over term-set leaves (distributed plan).
+
+        The per-leaf plan paid one index scan + decode + distinct per
+        leaf and one semi/anti-join exchange per AND edge (~2 Spark
+        jobs per leaf under AQE).  Here ALL leaves' terms go through a
+        single pruned index scan + decode, a broadcast of the tiny
+        (term → group, leaf, negated) map attaches leaf membership, and
+        one groupBy(doc_id) evaluates the whole tree per doc with array
+        expressions over the collected (group, leaf, negated) set —
+        exactly one shuffle, already-distinct output (optimization
+        guide §2.4: remove shuffles outright; §2.3: shuffle a few bytes
+        of leaf metadata, not per-leaf row sets).
+
+        Semantics are identical to the join plan: a doc matches a
+        positive leaf iff it holds ≥1 of the leaf's terms, matches a
+        group iff it matches every positive leaf and no negated leaf,
+        and matches the query iff it matches ≥1 group."""
+        map_rows = []
+        n_pos: list[int] = []
+        for gid, leaves in enumerate(groups):
+            npos = 0
+            for lid, (terms, negated) in enumerate(leaves):
+                if not negated:
+                    npos += 1
+                for t in set(terms):
+                    map_rows.append((t, gid, lid, negated))
+            n_pos.append(npos)
+        all_terms = sorted({r[0] for r in map_rows})
+        if not all_terms:
+            # no leaf analyzed to a known term ⇒ nothing can match (a
+            # positive leaf with an empty term set also blocks its own
+            # group below: its count can never reach n_pos)
+            return _local_df(self.spark, [], "doc_id long")
+        leaf_map = _local_df(
+            self.spark, map_rows, "term string, gid int, lid int, neg boolean"
+        )
+        decoded = decode_postings_df(self._index_rows(all_terms)).select(
+            "term", "doc_id"
+        )
+        hits = decoded.join(F.broadcast(leaf_map), "term").groupBy("doc_id").agg(
+            F.collect_set(F.struct("gid", "lid", "neg")).alias("m")
+        )
+        cond = F.lit(False)
+        for gid, npos in enumerate(n_pos):
+            g_pos = F.size(
+                F.filter("m", lambda x: (x["gid"] == gid) & ~x["neg"])
+            ) == F.lit(npos)
+            g_neg = ~F.exists("m", lambda x: (x["gid"] == gid) & x["neg"])
+            cond = cond | (g_pos & g_neg)
+        return hits.filter(cond).select("doc_id")
 
     def _serving_leaf(self, leaf: qt.Leaf) -> tuple[tuple, set, bool]:
         """Compile one query leaf for the bucket-local serving kernels.
@@ -972,7 +1068,7 @@ class SearchEngine:
         import pandas as pd
 
         if not frame_terms:
-            return self.spark.createDataFrame([], "doc_id long")
+            return _local_df(self.spark, [], "doc_id long")
         rows = self._index_rows(sorted(frame_terms))
         if min_bucket is not None and min_bucket > 0:
             rows = rows.filter(F.col("bucket") >= min_bucket)
@@ -1139,7 +1235,7 @@ class SearchEngine:
             raise _ServingFallback("phrase serving needs cached term stats")
         if not terms:
             raise _ServingFallback("degenerate phrase (prefix semantics)")
-        empty = self.spark.createDataFrame([], "bucket int, doc_id long")
+        empty = _local_df(self.spark, [], "bucket int, doc_id long")
         if any(t not in self.term_stats for t in set(terms)):
             return empty
         rare = sorted(set(terms), key=lambda t: self.term_stats[t][0])[:2]
@@ -1156,7 +1252,7 @@ class SearchEngine:
             pairs = cand.collect()
             if not pairs:
                 return empty
-            small = self.spark.createDataFrame(
+            small = _local_df(self.spark, 
                 [(int(r.bucket), int(r.doc_id)) for r in pairs],
                 "bucket int, doc_id long",
             )
@@ -1208,7 +1304,7 @@ class SearchEngine:
         :meth:`phrase_docids_positional` (tested)."""
         seq = self._q(phrase)
         if not seq:
-            return self.spark.createDataFrame([], "doc_id long")
+            return _local_df(self.spark, [], "doc_id long")
         return self._bucketed_eval(
             [[(("pos_phrase", seq, None), False)]], set(seq)
         )
@@ -1224,7 +1320,7 @@ class SearchEngine:
             return self.prefix_docids(suffix)
         sfx_terms = self.expand_prefix(suffix)
         if not sfx_terms:
-            return self.spark.createDataFrame([], "doc_id long")
+            return _local_df(self.spark, [], "doc_id long")
         return self._bucketed_eval(
             [[(("pos_phrase", seq, sfx_terms), False)]],
             set(seq) | set(sfx_terms),
@@ -1283,7 +1379,7 @@ class SearchEngine:
                 k,
                 ((-self.term_stats[t][1], t) for t in self.expand_prefix(p)),
             )
-            return self.spark.createDataFrame(
+            return _local_df(self.spark, 
                 [(t, int(-ncf)) for ncf, t in best], "term string, cf long"
             )
         return (
@@ -1312,7 +1408,7 @@ class SearchEngine:
         (input, term, dist, cf)."""
         from pyspark.sql.window import Window
 
-        inp = self.spark.createDataFrame(
+        inp = _local_df(self.spark, 
             [(t,) for t in sorted(set(inputs))], "input string"
         )
         vocab = self.index.groupBy("term").agg(F.sum("cf").alias("cf"))
@@ -1387,7 +1483,7 @@ class SearchEngine:
         rows = self.search(query, k).collect()  # k rows by contract
         schema = "doc_id long, score double, snippet string"
         if not rows:
-            return self.spark.createDataFrame([], schema)
+            return _local_df(self.spark, [], schema)
         if self.content_df is None:
             raise qt.QueryError(
                 "snippets need document content: the index was built with "
@@ -1403,7 +1499,7 @@ class SearchEngine:
         else:
             first = F.least(*locs)
         start = F.greatest(F.coalesce(first, F.lit(1)) - context, F.lit(1))
-        scored = self.spark.createDataFrame(
+        scored = _local_df(self.spark, 
             [(int(r.doc_id), float(getattr(r, "score", 0.0))) for r in rows],
             "doc_id long, score double",
         )
@@ -1456,7 +1552,7 @@ class SearchEngine:
         if self.term_stats is not None:
             present = [t for t in terms if t in self.term_stats]
             if present:
-                return self.spark.createDataFrame(
+                return _local_df(self.spark, 
                     [(t, self.term_stats[t][0]) for t in present],
                     "term string, df long",
                 )
@@ -1643,7 +1739,7 @@ class SearchEngine:
 
         terms = sorted(set(terms))
         present = [t for t in terms if self.term_stats.get(t, (0, 0))[0] > 0]
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = _local_df(self.spark, [], "doc_id long, score double")
         if not present:
             return empty
         idf = {
@@ -1821,7 +1917,7 @@ class SearchEngine:
         )
         idf = {t: bm25_idf(self.n_docs, self.term_stats[t][0]) for t in scoring}
         all_terms = sorted(frame_terms | set(scoring))
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = _local_df(self.spark, [], "doc_id long, score double")
         if not all_terms:
             return empty
         k1, b, avgdl = self.k1, self.b, self.avgdl
@@ -1963,7 +2059,7 @@ class SearchEngine:
             .collect()
         )
         if not bucket_ubs:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return _local_df(self.spark, [], "doc_id long, score double")
         best_row = max(bucket_ubs, key=lambda r: r.ub)
         best = best_row.bucket
         probe = (
@@ -1986,7 +2082,7 @@ class SearchEngine:
         if len(probe) == k and all(r.bucket == best for r in surv):
             # the probe bucket is the only survivor: its top-k IS the
             # answer — skip the redundant final scoring job
-            return self.spark.createDataFrame(
+            return _local_df(self.spark, 
                 [(int(r.doc_id), float(r.score)) for r in probe],
                 "doc_id long, score double",
             )
@@ -2112,7 +2208,7 @@ class SearchEngine:
         dfs = {term: len(d) for term, (d, t) in postings.items()}
         # doclens only for candidate docs (semi-join, not a full scan)
         all_docs = np.unique(np.concatenate([d for d, _ in postings.values()]))
-        cand = self.spark.createDataFrame(
+        cand = _local_df(self.spark, 
             [(int(x),) for x in all_docs], "doc_id long"
         )
         dl_rows = self.docs.join(F.broadcast(cand), "doc_id").select(
@@ -2228,7 +2324,7 @@ class SearchEngine:
                 F.col("doc_id").isin([int(x) for x in cand])
             )
         else:
-            cdf = self.spark.createDataFrame(
+            cdf = _local_df(self.spark, 
                 [(int(x),) for x in cand], "doc_id long"
             )
             store = self.content_df.join(F.broadcast(cdf), "doc_id")
@@ -2318,11 +2414,11 @@ class SearchEngine:
         try:
             if isinstance(node, qt.OrNode):
                 ids = self._boolean_fast(node)
-                return self.spark.createDataFrame(
+                return _local_df(self.spark, 
                     [(int(x),) for x in ids], "doc_id long"
                 )
             rows = self._ranked_fast(node, query, k)
-            return self.spark.createDataFrame(
+            return _local_df(self.spark, 
                 rows, "doc_id long, score double"
             )
         except _FastFallback:
@@ -2585,7 +2681,7 @@ class SearchEngine:
                 )
             )
         if not outs:
-            return self.spark.createDataFrame(
+            return _local_df(self.spark, 
                 [], "qid int, doc_id long, score double"
             )
         res = outs[0]
@@ -2606,7 +2702,7 @@ class SearchEngine:
         import pandas as pd
 
         qspec = [(qid, terms) for qid, terms in batched if terms]
-        empty = self.spark.createDataFrame(
+        empty = _local_df(self.spark, 
             [], "qid int, doc_id long, score double"
         )
         if not qspec:

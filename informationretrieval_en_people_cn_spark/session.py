@@ -22,6 +22,27 @@ def scaled(df, factor: int = 1):
     return df
 
 
+def local_rows_df(spark: SparkSession, rows, schema: str):
+    """Tiny driver-side relation (plans, stats rows, fast-path results).
+
+    ``spark.createDataFrame(list_of_rows)`` parallelizes into
+    ``defaultParallelism`` slices — a 32-task job to ship a handful of
+    rows (measured ~0.3 s per occurrence on local[32]; optimization
+    guide §1.1: scheduler overhead, not compute).  Routing the rows
+    through one Arrow batch (pandas) keeps the relation
+    single-partition; int64/float64/str/bool round-trip bit-identically
+    through Arrow."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    struct = T._parse_datatype_string(schema)
+    names = [f.name for f in struct.fields]
+    pdf = pd.DataFrame(
+        dict(zip(names, zip(*rows))) if rows else {n: [] for n in names}
+    )
+    return spark.createDataFrame(pdf, schema=struct)
+
+
 def get_spark(
     app_name: str = "ir-engine",
     cores: int | None = None,

@@ -252,24 +252,45 @@ def lsh_multitable_topk(
     is poor (one unlucky hyperplane near the query loses the whole
     cluster); with L tables a near neighbor only needs to collide in
     ONE of them — recall 1-(1-p^bits)^L.  At scale each table is a
-    partition-key column (probe = L partition lookups); here the union
-    is one OR filter, still a single pruned scan, zero Python.
+    partition-key column (probe = L partition lookups); here the
+    candidate filter is ONE Arrow-batched numpy pass computing every
+    table's signature (L×bits interpreted higher-order dot expressions
+    were the measured cost — guide §4.2), bit-identical to
+    :func:`lsh_signature_expr`: the per-bit dot replays the same
+    sequential left-fold float64 order as the Catalyst ``aggregate``.
     """
-    matches = None
-    bucketed = df
-    for t in range(tables):
-        planes = hyperplanes(len(query), bits, seed + 1000 * t)
+    all_planes = [
+        hyperplanes(len(query), bits, seed + 1000 * t) for t in range(tables)
+    ]
+    qsigs = []
+    for planes in all_planes:
         qsig = 0
         for i, h in enumerate(planes):
             if float(np.dot(query, h)) > 0:
                 qsig |= 1 << i
-        col = f"_lsh_t{t}"
-        bucketed = bucketed.withColumn(
-            col, lsh_signature_expr(F.col(vec_col), planes)
-        )
-        cond = F.col(col) == qsig
-        matches = cond if matches is None else (matches | cond)
-    cand = bucketed.filter(matches)
+        qsigs.append(qsig)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vs = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            keep = np.zeros(len(pdf), dtype=bool)
+            for planes, qsig in zip(all_planes, qsigs):
+                sig = np.zeros(len(pdf), dtype=np.int64)
+                for i, h in enumerate(planes):
+                    # sequential fold, same float64 sequence as _dot
+                    acc = np.zeros(len(pdf), dtype=np.float64)
+                    for j in range(vs.shape[1]):
+                        acc = acc + vs[:, j] * float(h[j])
+                    sig |= (acc > 0).astype(np.int64) << np.int64(i)
+                keep |= sig == qsig
+            if keep.any():
+                yield pdf[keep]
+
+    cand = df.mapInPandas(gen, df.schema)
     return cosine_topk(cand, query, k, vec_col=vec_col, id_col=id_col)
 
 
@@ -361,8 +382,13 @@ def synth_clustered_embeddings(
     rows = [
         (int(i), int(labels[i]), [float(x) for x in pts[i]]) for i in range(n)
     ]
-    return spark.createDataFrame(
-        rows, "vec_id long, label int, embedding array<float>"
+    # one Arrow batch instead of a defaultParallelism-slice parallelize
+    # (pickled rows with array cells cost ~1 s to materialize on
+    # local[32]; see session.local_rows_df)
+    from ..session import local_rows_df
+
+    return local_rows_df(
+        spark, rows, "vec_id long, label int, embedding array<float>"
     )
 
 

@@ -987,6 +987,16 @@ class SearchEngine:
             # positive leaf with an empty term set also blocks its own
             # group below: its count can never reach n_pos)
             return _local_df(self.spark, [], "doc_id long")
+        if len(groups) == 1 and len(groups[0]) == 1 and not groups[0][0][1]:
+            # degenerate tree — one group, one positive term-set leaf:
+            # membership IS the decoded doc set; skip the leaf-map
+            # machinery (one collect_set aggregate heavier than a
+            # distinct, measured on the OR-with-phrase mixed shape)
+            return (
+                decode_postings_df(self._index_rows(all_terms))
+                .select("doc_id")
+                .distinct()
+            )
         leaf_map = _local_df(
             self.spark, map_rows, "term string, gid int, lid int, neg boolean"
         )

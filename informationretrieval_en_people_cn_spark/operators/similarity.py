@@ -32,7 +32,16 @@ def _norm(a):
 
 
 def cosine_expr(vec_col, query: list[float]):
-    """cosine(vec, query) as a pure-Catalyst double expression."""
+    """cosine(vec, query) as a pure-Catalyst double expression.
+
+    Deliberately the compact higher-order-function form: an unrolled
+    per-element chain (dot+norm = 2·dim expression nodes) was measured
+    3-4× SLOWER per query at dim 64 / small row counts — the plan's
+    analysis+codegen cost dwarfs the interpreted element loop it
+    removes (guide §1.2: per-task work only after the job shape is
+    right).  Large scans that are genuinely compute-bound use the
+    Arrow/numpy kernels (lsh_multitable_topk) instead of wider
+    expression trees."""
     q = F.array(*[F.lit(float(x)) for x in query])
     v = F.transform(vec_col, lambda x: x.cast("double"))
     qn = float(np.sqrt(np.dot(query, query))) or 1.0
@@ -68,7 +77,9 @@ def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_signature_expr(vec_col, planes: np.ndarray):
-    """Pack sign(v·h_i) into an integer bucket id — pure Catalyst."""
+    """Pack sign(v·h_i) into an integer bucket id — pure Catalyst
+    (compact HOF dots; see the cosine_expr note on why unrolled chains
+    lose here)."""
     v = F.transform(vec_col, lambda x: x.cast("double"))
     sig = F.lit(0).cast("long")
     for i, h in enumerate(planes):

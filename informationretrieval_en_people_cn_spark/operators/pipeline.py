@@ -244,6 +244,11 @@ def ngram_jaccard_pairs(
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# worker-level shingle → base-hash memo, one dict per hash family
+# (pure function; survives across tasks in reused workers — guide §4.5)
+_MH_BASE_CACHE: dict[str, dict[str, int]] = {}
+_MH_BASE_CACHE_MAX = 2_000_000
+
 
 def _mulmod_p61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
     """EXACT ``outer(a, x) % (2^61 - 1)`` for uint64 inputs < 2^61.
@@ -344,6 +349,13 @@ def minhash_signatures(
 
         import pandas as pd
 
+        # worker-level base-hash memo (same pattern as the analyzer's
+        # _TERMS_CACHE): shingle → 60/61-bit base hash is a pure
+        # function, and Zipf shingles recur across batches AND tasks in
+        # a reused Python worker (guide §4.5)
+        base_cache = _MH_BASE_CACHE.setdefault(hash_fn, {})
+        if len(base_cache) > _MH_BASE_CACHE_MAX:
+            base_cache.clear()
         sentinel = np.full(len(a), np.int64((1 << 61) - 1))
         for pdf in batches:
             # Per-batch unique-shingle SIGNATURE matrix (guide §4.2):
@@ -363,14 +375,15 @@ def minhash_signatures(
                     # First 15 hex digits == first 60 bits of the digest:
                     # digest()[:8] big-endian >> 4, skipping the hex
                     # string round-trip (≈2× faster per unique shingle)
-                    base = np.fromiter(
-                        (
-                            int.from_bytes(
-                                hashlib.md5(s.encode()).digest()[:8], "big"
+                    md5 = hashlib.md5
+                    for s in keys:
+                        if s not in base_cache:
+                            base_cache[s] = (
+                                int.from_bytes(md5(s.encode()).digest()[:8], "big")
+                                >> 4
                             )
-                            >> 4
-                            for s in keys
-                        ),
+                    base = np.fromiter(
+                        (base_cache[s] for s in keys),
                         dtype=np.uint64,
                         count=len(keys),
                     )
@@ -379,7 +392,21 @@ def minhash_signatures(
                 else:
                     # fast family: deliberate uint64 wrap before the
                     # Mersenne reduction (hash-quality no-op)
-                    base = _stable_u64(keys) % _MERSENNE
+                    blake = hashlib.blake2b
+                    for s in keys:
+                        if s not in base_cache:
+                            # == _stable_u64 per element (raw 64-bit)
+                            base_cache[s] = int.from_bytes(
+                                blake(s.encode(), digest_size=8).digest(), "big"
+                            )
+                    base = (
+                        np.fromiter(
+                            (base_cache[s] for s in keys),
+                            dtype=np.uint64,
+                            count=len(keys),
+                        )
+                        % _MERSENNE
+                    )
                     m = (np.multiply.outer(a, base) + b[:, None]) % _MERSENNE
                 mat = m.astype(np.int64)
             sigs = []

@@ -101,10 +101,15 @@ def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mapping per FIXTURES.md §1: doc_id→path, text→content, source→repo,
     constant commit. Keeps the original integer doc_id (already dense
     and deterministic).
-    """
-    from ..session import scaled
 
-    docs = scaled(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    No repartition here (guide §2.4 — remove shuffles outright): every
+    expensive consumer goes through ``build_index``, whose stage A
+    range-partitions by doc_id itself, so a round-robin ``scaled()``
+    exchange upstream (plus its sort-before-repartition) was a second
+    full shuffle of the corpus that bought nothing.  At real scale the
+    parquet input carries its own splits.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id"),
         F.col("source").alias("repo"),

@@ -158,7 +158,20 @@ def analyze_batch(texts, *, use_stemmer: bool = True):
             out += hit
         return out
 
-    return texts.map(analyze_one)
+    # batch-local WHOLE-TEXT memo on top of the token memo: exact-dup
+    # texts (deduplicated web corpora, synthetic fixtures) re-analyze
+    # as one dict hit instead of a re-tokenize.  Batch-local (not
+    # worker-level) because values hold full term lists — the token
+    # memo above is the one worth keeping resident.
+    tmemo: dict[str, list[str]] = {}
+
+    def analyze_memo(text: str) -> list[str]:
+        hit = tmemo.get(text)
+        if hit is None:
+            hit = tmemo[text] = analyze_one(text)
+        return hit
+
+    return texts.map(analyze_memo)
 
 
 def analyze_query_term(term: str, *, use_stemmer: bool = True) -> str | None:

@@ -2468,6 +2468,13 @@ class SearchEngine:
             res = self._search_fast(node, query, k)
             if res is not None:
                 return res
+        # NOTE (round 6): a prepared-plan cache (returning the same
+        # DataFrame for a repeated query) was prototyped and REJECTED:
+        # repeats collapsed to ~0.05 s because AQE reuses the shared
+        # DataFrame's already-materialized shuffle stages — i.e. the
+        # second run no longer computes from the parquet inputs, which
+        # is persisted-intermediate reuse, not planning reuse.  Every
+        # search() therefore builds a fresh DataFrame.
         if isinstance(node, qt.OrNode):
             if self._bucket_doclens is not None:
                 try:
@@ -2844,6 +2851,8 @@ def _has_phrase(node) -> bool:
         for a in node.children
         for c in a.children
     )
+
+
 
 
 # ---- WAND fast path (numpy, block-max) ----------------------------------

@@ -668,12 +668,23 @@ class SearchEngine:
             if len(stats) < len(set(terms)):
                 return self.docs.limit(0).select("doc_id")  # a term is missing
             rare = [r.term for r in stats]
-        cand = None
-        for t in rare:  # intersect the (≤2) rarest terms' postings
-            ids = decode_postings_df(
-                self.index.filter(F.col("term") == t)
-            ).select("doc_id")
-            cand = ids if cand is None else cand.join(ids, "doc_id", "left_semi")
+        # intersect the (≤2) rarest terms' postings in ONE scan+decode:
+        # (term, doc) rows are unique (bucket doc-ranges are disjoint),
+        # so docs holding every rare term are exactly those whose
+        # decoded row count equals |rare| — no per-term scan, no
+        # semi-join exchange (guide §2.4, same shape as the boolean
+        # one-pass plan)
+        if len(rare) == 1:
+            cand = decode_postings_df(self._index_rows(rare)).select("doc_id")
+        else:
+            cand = (
+                decode_postings_df(self._index_rows(rare))
+                .select("term", "doc_id")
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("nt"))
+                .filter(F.col("nt") == len(rare))
+                .select("doc_id")
+            )
         if self.content_df is None:
             raise ValueError(
                 "phrase verification needs a document store: docs table "

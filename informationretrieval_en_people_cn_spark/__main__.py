@@ -162,6 +162,14 @@ def main(argv: list[str] | None = None) -> int:
                 ]
             )
             if getattr(args, "batch", False):
+                if boost:
+                    # mirror the --wand guard: search_batch has no boost
+                    # parameter, so --batch --boost would silently
+                    # return unboosted scores (ADVICE r5)
+                    raise SystemExit(
+                        "--batch does not support --boost; run boosted "
+                        "queries without --batch"
+                    )
                 rows = eng.search_batch(
                     queries, k=args.k, where=args.where
                 ).collect()

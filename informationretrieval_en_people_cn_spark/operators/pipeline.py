@@ -478,31 +478,59 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    w = Window.partitionBy("band", "bucket")
-    banded = banded.withColumn("bsz", F.count("*").over(w)).filter(
-        F.col("bsz") <= max_bucket
+    # One groupBy replaces the old window-count + self-join + array
+    # zip_with chain (guide §2.4): the grouped doc list's length IS the
+    # bucket size, so the max_bucket cap is a free filter on the group;
+    # each group's candidate pairs and their signature-agreement counts
+    # come out of one vectorized numpy comparison in-task (guide §4.2),
+    # and only (doc_a, doc_b, est) rows reach the final dedup exchange —
+    # never signature arrays.  Group size is bounded by ``max_bucket``,
+    # so per-group work cannot skew.
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "signature"))).alias("g"))
+        .filter((F.size("g") >= 2) & (F.size("g") <= max_bucket))
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_e = [], [], []
+            for g in pdf["g"]:
+                m = len(g)
+                docs_ = np.fromiter(
+                    (e["doc_id"] for e in g), dtype=np.int64, count=m
+                )
+                mat = np.array([e["signature"] for e in g], dtype=np.int64)
+                ia, ib = np.triu_indices(m, k=1)
+                # chunk the comparison so a generous max_bucket cannot
+                # materialize an O(pairs × k) boolean tensor at once
+                step = max(1, 2_000_000 // max(mat.shape[1], 1))
+                agree = np.empty(ia.size, dtype=np.int64)
+                for s in range(0, ia.size, step):
+                    e_ = slice(s, min(s + step, ia.size))
+                    agree[e_] = (mat[ia[e_]] == mat[ib[e_]]).sum(axis=1)
+                out_a.append(docs_[ia])
+                out_b.append(docs_[ib])
+                out_e.append(agree / float(num_hashes))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "doc_a": np.concatenate(out_a),
+                        "doc_b": np.concatenate(out_b),
+                        "est_jaccard": np.concatenate(out_e),
+                    }
+                )
+
+    pairs = grouped.select("g").mapInPandas(
+        gen, "doc_a long, doc_b long, est_jaccard double"
     )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"), "band", "bucket"
-    )
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
+    # est_jaccard is a pure function of the (unique) pair, so the dedup
+    # across bands keeps identical values whichever band survives
     return (
-        cand.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
-        .filter(F.col("est_jaccard") >= threshold)
+        pairs.filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "est_jaccard")
     )
 
